@@ -1,0 +1,23 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Distributed behavior (pjit sharding, collectives, vmapped sweeps) is validated
+on faked host devices per SURVEY.md §7 — real multi-chip hardware is not
+assumed at test time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
