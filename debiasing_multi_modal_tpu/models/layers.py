@@ -1,0 +1,174 @@
+"""Shared Flax layers for the CLIP towers.
+
+Numerics policy (TPU): activations may be bf16 (``dtype``), parameters are
+fp32 (``param_dtype``), and every normalization computes its statistics in
+fp32 — the rebuild's equivalent of the reference's fp16-safe ``LayerNorm``
+subclass (clip/model.py:157-163) and fp32 BatchNorm statistics under autocast.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — reference clip/model.py:166-168."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in float32 and cast back to the input dtype."""
+
+    epsilon: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig = x.dtype
+        out = nn.LayerNorm(
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="ln",
+        )(x.astype(jnp.float32))
+        return out.astype(orig)
+
+
+class InferenceBatchNorm(nn.Module):
+    """BatchNorm that always uses stored running statistics (fp32).
+
+    The CLIP encoders are frozen feature extractors in this pipeline — the
+    reference never trains them (model.eval() at load, clip/model.py:436) — so
+    their BatchNorms are pure affine transforms of running stats.  Keeping
+    them as an explicit inference-only module lets XLA fold scale/shift into
+    the adjacent convolutions.
+    """
+
+    features: int
+    epsilon: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        ).value
+        inv = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias.astype(jnp.float32) - mean * inv
+        out = x.astype(jnp.float32) * inv + shift
+        return out.astype(x.dtype)
+
+
+class MultiHeadAttentionBlock(nn.Module):
+    """Self-attention with packed-qkv-style projections over [B, S, D].
+
+    Equivalent to torch ``nn.MultiheadAttention`` used by the reference's
+    ``ResidualAttentionBlock`` (clip/model.py:171-192): one fused in-projection
+    (here three Dense layers whose kernels concatenate to the torch
+    ``in_proj_weight``) and an out-projection.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+        d = x.shape[-1]
+        dense = lambda name: nn.Dense(  # noqa: E731
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q, k, v = dense("q_proj")(x), dense("k_proj")(x), dense("v_proj")(x)
+        out = multi_head_attention(
+            q, k, v, self.num_heads, causal=causal, impl=self.attn_impl
+        )
+        return dense("out_proj")(out)
+
+
+class MLPBlock(nn.Module):
+    """c_fc -> QuickGELU -> c_proj (reference clip/model.py:177-181)."""
+
+    expansion: int = 4
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = nn.Dense(
+            d * self.expansion, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="c_fc",
+        )(x)
+        h = quick_gelu(h)
+        return nn.Dense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name="c_proj"
+        )(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block with QuickGELU MLP (clip/model.py:171-192)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+        x = x + MultiHeadAttentionBlock(
+            self.num_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(LayerNormF32(param_dtype=self.param_dtype, name="ln_1")(x), causal=causal)
+        x = x + MLPBlock(
+            dtype=self.dtype, param_dtype=self.param_dtype, name="mlp"
+        )(LayerNormF32(param_dtype=self.param_dtype, name="ln_2")(x))
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks.
+
+    Uses a plain Python loop (depth is static and small, 12-24 layers);
+    blocks are individually rematerializable via ``remat`` for pod-scale
+    training configurations.
+    """
+
+    width: int
+    layers: int
+    heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+        for i in range(self.layers):
+            x = block_cls(
+                self.heads,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                attn_impl=self.attn_impl,
+                name=f"resblocks_{i}",
+            )(x, causal=causal)
+        return x

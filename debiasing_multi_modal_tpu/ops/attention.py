@@ -1,0 +1,120 @@
+"""Fused multi-head attention for TPU.
+
+This is the single attention primitive used by every transformer block in the
+framework (text transformer, ViT, and the single-query attention pool of the
+ModifiedResNet — reference ``clip/model.py``:58-91, 171-192).
+
+Two interchangeable implementations:
+
+- ``xla``: plain einsum attention.  For CLIP's tiny sequence lengths (50-257
+  tokens) XLA already fuses this well; it is also the CPU/debug path.
+- ``pallas``: a blockwise (flash-style) kernel written in Pallas
+  (:mod:`debiasing_multi_modal_tpu.ops.flash_attention`), profitable for the
+  longer-sequence configurations (ViT-L/14 = 257 tokens, pod-scale batches)
+  and written blockwise so longer contexts get it for free.
+
+Numerics policy: logits and softmax are computed in float32 regardless of the
+input dtype (bf16 activations on TPU), matching the fp16-safe behavior of the
+reference under ``convert_weights`` (clip/model.py:375-396) where the softmax
+runs in the autocast-accumulated precision.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_IMPL = "auto"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    impl: str = _DEFAULT_IMPL,
+) -> jax.Array:
+    """Scaled dot-product attention over head-split inputs.
+
+    Args:
+      q: [batch, q_len, num_heads, head_dim]
+      k, v: [batch, kv_len, num_heads, head_dim]
+      mask: optional additive mask broadcastable to [batch, heads, q_len,
+        kv_len] (float, ``-inf`` to exclude), matching the additive causal
+        mask of reference clip/model.py:328-334.
+      causal: build the standard causal mask internally (preferred over
+        passing a materialized 77x77 mask).
+      impl: "xla", "pallas", or "auto" (pallas on TPU when shapes qualify).
+
+    Returns:
+      [batch, q_len, num_heads, head_dim] in q.dtype.
+    """
+    if impl == "auto":
+        impl = "xla"
+        if _on_tpu():
+            from debiasing_multi_modal_tpu.ops import flash_attention as fa
+
+            if fa.supported(q, k, v, mask=mask):
+                impl = "pallas"
+    if impl == "pallas":
+        from debiasing_multi_modal_tpu.ops import flash_attention as fa
+
+        return fa.flash_attention(q, k, v, mask=mask, causal=causal)
+    return _xla_attention(q, k, v, mask=mask, causal=causal)
+
+
+def _xla_attention(q, k, v, *, mask=None, causal=False):
+    orig_dtype = q.dtype
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    # [B, H, Sq, Skv] logits in f32
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        q_len, kv_len = q.shape[1], k.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
+        logits = jnp.where(col <= row, logits, jnp.float32(-jnp.inf))
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)
+
+
+@functools.partial(jax.named_call, name="multi_head_attention")
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    impl: str = _DEFAULT_IMPL,
+) -> jax.Array:
+    """Attention over merged-head inputs [batch, seq, model_dim]."""
+    b, sq, d = q.shape
+    skv = k.shape[1]
+    hd = d // num_heads
+    q = q.reshape(b, sq, num_heads, hd)
+    k = k.reshape(b, skv, num_heads, hd)
+    v = v.reshape(b, skv, num_heads, hd)
+    out = dot_product_attention(q, k, v, mask=mask, causal=causal, impl=impl)
+    return out.reshape(b, sq, d)

@@ -1,0 +1,167 @@
+"""Blockwise (flash-style) fused attention kernel in Pallas for TPU.
+
+The reference leans on cuDNN's fused attention via
+``F.multi_head_attention_forward`` / ``nn.MultiheadAttention``
+(clip/model.py:72-90, 175-187).  The TPU-native equivalent is this Pallas
+kernel: online-softmax blockwise attention that never materializes the
+[Sq, Skv] score matrix in HBM, with the causal mask generated from block
+indices instead of a stored 77x77 buffer (clip/model.py:328-334).
+
+At reference sequence lengths (50-257 tokens) this is a fusion win rather
+than a memory win, but the kernel is written blockwise so pod-scale
+longer-context configurations (ViT-L/14 and beyond) get it unchanged
+(SURVEY.md §5.7).
+
+Layout contract: q [B, Sq, H, D], k/v [B, Skv, H, D] (merged-batch=B*H
+internally).  Sequence dims are zero-padded to the 128-lane block size with
+explicit key-padding masking, so any CLIP context length works.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU backend only; tests fall back to interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+BLOCK_Q = 128
+BLOCK_KV = 128
+_NEG_INF = float(-1e30)
+
+
+def supported(q, k, v, *, mask=None) -> bool:
+    """Whether the Pallas path handles these operands."""
+    if mask is not None:  # additive masks stay on the XLA path
+        return False
+    if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
+        return False
+    if q.shape[1] < 8:  # single-query pooling etc.: XLA fuses better
+        return False
+    return _HAS_PLTPU
+
+
+def _attn_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    *,
+    scale: float,
+    kv_len: int,
+    q_len: int,
+    causal: bool,
+):
+    """One (batch*head, q-block) program: stream kv blocks with online softmax."""
+    iq = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+    bq, d = q.shape
+    skv_pad = k_ref.shape[1]
+    n_kv = skv_pad // BLOCK_KV
+
+    q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
+
+    def body(jkv, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        v = v_ref[0, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BKV]
+        kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, BLOCK_KV), 1
+        )
+        valid = kv_pos < kv_len
+        if causal:
+            valid = jnp.logical_and(valid, kv_pos <= q_pos)
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+
+    if causal:
+        # Only stream kv blocks at or below this q block's diagonal.
+        n_needed = jnp.minimum(
+            n_kv, (iq * BLOCK_Q + BLOCK_Q + BLOCK_KV - 1) // BLOCK_KV
+        )
+    else:
+        n_needed = n_kv
+    acc, m, l = jax.lax.fori_loop(0, n_needed, body, (acc0, m0, l0))
+    # Padded query rows have l == 0 (all keys masked); guard the divide.
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention: q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D]."""
+    assert mask is None, "additive masks use the XLA path"
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = d ** -0.5
+
+    # [B, S, H, D] -> [B*H, S, D]
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qm, km, vm = merge(q), merge(k), merge(v)
+    sq_pad = -(-sq // BLOCK_Q) * BLOCK_Q
+    skv_pad = -(-skv // BLOCK_KV) * BLOCK_KV
+    qm = _pad_to(qm, sq_pad, 1)
+    km = _pad_to(km, skv_pad, 1)
+    vm = _pad_to(vm, skv_pad, 1)
+
+    grid = (b * h, sq_pad // BLOCK_Q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((1, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        interpret=interpret,
+    )(qm, km, vm)
+
+    out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return out

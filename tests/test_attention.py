@@ -1,0 +1,70 @@
+"""Fused-attention op tests: XLA path vs. naive math, and the Pallas kernel
+(interpret mode on CPU) vs. the XLA path, including causal masks and
+non-multiple-of-block sequence lengths (CLIP's 50/77/257)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.ops.attention import (
+    _xla_attention,
+    multi_head_attention,
+)
+from debiasing_multi_modal_tpu.ops.flash_attention import flash_attention
+
+
+def _naive(q, k, v, causal=False):
+    scale = q.shape[-1] ** -0.5
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if causal:
+        sq, skv = q.shape[1], k.shape[1]
+        mask = np.tril(np.ones((sq, skv), bool))
+        logits = np.where(mask, logits, -np.inf)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq", [50, 77])
+def test_xla_attention_matches_naive(rng, causal, seq):
+    q = rng.standard_normal((2, seq, 2, 64)).astype(np.float32)
+    k = rng.standard_normal((2, seq, 2, 64)).astype(np.float32)
+    v = rng.standard_normal((2, seq, 2, 64)).astype(np.float32)
+    out = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal)
+    np.testing.assert_allclose(np.asarray(out), _naive(q, k, v, causal), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq,hd", [(77, 64), (257, 64), (128, 128), (130, 64)])
+def test_flash_kernel_matches_xla(rng, causal, seq, hd):
+    q = rng.standard_normal((2, seq, 2, hd)).astype(np.float32)
+    k = rng.standard_normal((2, seq, 2, hd)).astype(np.float32)
+    v = rng.standard_normal((2, seq, 2, hd)).astype(np.float32)
+    ref = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_additive_mask_matches_reference_semantics(rng):
+    """A materialized additive causal mask must equal the in-kernel causal
+    path (reference builds a -inf upper-triangular mask, clip/model.py:328)."""
+    q = rng.standard_normal((1, 77, 2, 64)).astype(np.float32)
+    mask = np.triu(np.full((77, 77), -np.inf, np.float32), 1)
+    a = _xla_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), causal=True)
+    b = _xla_attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), mask=jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_merged_head_wrapper(rng):
+    x = rng.standard_normal((2, 50, 128)).astype(np.float32)
+    out = multi_head_attention(
+        jnp.asarray(x), jnp.asarray(x), jnp.asarray(x), num_heads=2, impl="xla"
+    )
+    assert out.shape == (2, 50, 128)
