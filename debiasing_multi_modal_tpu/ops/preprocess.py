@@ -1,0 +1,74 @@
+"""On-device image preprocessing: bicubic resize + center crop + normalize.
+
+Parity surface: the reference preprocessing chain (clip_inference.py:32-33 +
+clip/clip.py:79-86) — ``Resize(224, BICUBIC)`` (shorter side), ``CenterCrop
+(224)``, ``ToTensor``, ``Normalize(CLIP mean/std)``.  The reference composes
+the chain twice (crop ∘ preprocess); the second resize/crop is an identity, so
+the net transform is: shorter-side bicubic resize -> center crop -> normalize.
+
+TPU-first: the whole transform is one jitted function over a fixed-shape
+``uint8 [N, H, W, 3]`` batch — the host only decodes; scaling, cropping and
+normalization are fused on device (XLA fuses the elementwise tail into the
+resize gather), so per-image Python never touches the hot loop (SURVEY.md §7
+hard part 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# CLIP normalization constants (clip/clip.py:85)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def resized_dims(h: int, w: int, target: int) -> Tuple[int, int]:
+    """torchvision Resize(shorter-side) output size (round-half-even free:
+    torchvision uses int(round(...)))."""
+    if h <= w:
+        return target, max(target, int(round(w * target / h)))
+    return max(target, int(round(h * target / w))), target
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "antialias", "dtype"))
+def preprocess_uint8(
+    images: jax.Array,
+    resolution: int = 224,
+    antialias: bool = True,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """uint8 [N, H, W, 3] -> CLIP-normalized [N, resolution, resolution, 3].
+
+    H and W are static per compiled shape; the resize scale and crop offsets
+    are computed at trace time, so the jitted program is a single fused
+    resize+crop+normalize with no dynamic shapes.
+    """
+    n, h, w, c = images.shape
+    x = images.astype(jnp.float32) / 255.0
+
+    rh, rw = resized_dims(h, w, resolution)
+    if (rh, rw) != (h, w):
+        x = jax.image.resize(x, (n, rh, rw, c), method="bicubic", antialias=antialias)
+        # PIL clamps resampled values into the valid range
+        x = jnp.clip(x, 0.0, 1.0)
+
+    top = int(round((rh - resolution) / 2.0))
+    left = int(round((rw - resolution) / 2.0))
+    x = jax.lax.slice(
+        x, (0, top, left, 0), (n, top + resolution, left + resolution, c)
+    )
+
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def normalize_only(images_01: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Normalize an already-resized [0,1] float batch (bench/synthetic path)."""
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return ((images_01.astype(jnp.float32) - mean) / std).astype(dtype)
