@@ -1,0 +1,129 @@
+"""Training configuration.
+
+Parity surface: the ~30 argparse flags of reference ``parse_option``
+(final_main.py:176-297) plus its derived values (warmup endpoints, dataset-
+conditional reg warmup epochs, n_cls).  Kept as a frozen dataclass so the
+whole config can be closed over by jitted step functions and hashed for
+compilation caching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+TL_METHODS = (
+    "linear_probing",
+    "adapter",
+    "adapter_reg",
+    "adapter_reg_seq",
+    "adapter_reg_seq_alter",
+    "contrastive_adapter",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # core schedule
+    batch_size: int = 128
+    batch_size_reg: int = 128
+    epochs: int = 10
+    learning_rate: float = 1e-1
+    learning_rate_reg: float = 1e-3
+    lr_decay_epochs: Tuple[int, ...] = (60, 75, 90)
+    lr_decay_rate: float = 1.0
+    weight_decay: float = 5e-5
+    momentum: float = 0.9
+    cosine: bool = False
+    warm: bool = False
+    warm_reg: bool = False
+
+    # task
+    dataset: str = "waterbirds"
+    tl_method: str = "linear_probing"
+    train_target: str = "class"  # class | spurious | group
+    n_cls: int = 2
+
+    # two-phase machinery
+    epochs_feature_learning: Optional[int] = None
+    balance_val: bool = False
+    resample_ce: bool = False
+    use_cls_prompt_in_reg: bool = False
+    add_adapter: bool = False
+    init_near_identity: bool = False
+    continue_from_best: bool = False
+
+    # model
+    adapter_feat_dim: int = 128
+    zs_temperature: float = 0.01
+    input_dim: int = 1024
+
+    # misc
+    random_seed: int = 42
+    save_results: bool = False
+    print_freq: int = 10
+    watch_batch_results: bool = False
+
+    def __post_init__(self):
+        if self.tl_method not in TL_METHODS:
+            raise ValueError(f"unknown tl_method {self.tl_method!r}")
+        if self.tl_method == "adapter":
+            assert not self.add_adapter and not self.balance_val, (
+                "plain adapter excludes add_adapter/balance_val (parse_option parity)"
+            )
+        if self.is_two_phase and self.epochs_feature_learning is None:
+            raise ValueError("sequential methods require epochs_feature_learning")
+
+    # ------------------------------------------------------------ derived --
+    @property
+    def is_reg_method(self) -> bool:
+        return self.tl_method in ("adapter_reg", "adapter_reg_seq", "adapter_reg_seq_alter")
+
+    @property
+    def is_two_phase(self) -> bool:
+        return self.tl_method in ("adapter_reg_seq", "adapter_reg_seq_alter")
+
+    @property
+    def warm_epochs(self) -> int:
+        return 10
+
+    @property
+    def warm_epochs_reg(self) -> int:
+        # dataset-conditional default (final_main.py:275-278)
+        return 2 if self.dataset == "celeba" else 10
+
+    @property
+    def warmup_from(self) -> float:
+        return 0.01
+
+    @property
+    def warmup_to(self) -> float:
+        if self.cosine:
+            eta_min = self.learning_rate * (self.lr_decay_rate ** 3)
+            return eta_min + (self.learning_rate - eta_min) * (
+                1 + math.cos(math.pi * self.warm_epochs / self.epochs)
+            ) / 2
+        return self.learning_rate
+
+    @property
+    def warmup_from_reg(self) -> float:
+        return self.learning_rate_reg / 1e2
+
+    @property
+    def warmup_to_reg(self) -> float:
+        if self.cosine:
+            assert self.epochs_feature_learning is not None
+            eta_min = self.learning_rate_reg * (self.lr_decay_rate ** 3)
+            return eta_min + (self.learning_rate_reg - eta_min) * (
+                1
+                + math.cos(
+                    math.pi
+                    * self.warm_epochs_reg
+                    / (self.epochs - self.epochs_feature_learning)
+                )
+            ) / 2
+        return self.learning_rate_reg
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,518 @@
+"""Two-phase sequential/alternating adapter training orchestrator.
+
+Parity surface: reference ``train_all_epochs`` (final_main.py:805-1128) and
+its epoch functions —
+
+- phase 1 "feature learning": ERM on the train split with class prompts
+  (``train_one_epoch``, :426-496), optionally on a zero-shot-failure
+  resampled loader (``--resample_ce``, :868-884).
+- ``adapter_reg``: every epoch interleaves the train loader (class prompts)
+  and the reg loader (group or class prompts) in one optimizer
+  (``train_reg_one_epoch``, :498-569).
+- phase 2 "balanced learning" (sequential methods): from epoch
+  ``epochs_feature_learning + 1``, train only on the group-stratified half of
+  the validation split (``train_reg_seq_one_epoch``, :571-653) with a fresh
+  SGD (momentum reset, :947-950), optionally from the best-so-far model
+  (``--continue_from_best``) and optionally through a MultipleAdapter whose
+  old branch is frozen (``--add_adapter``, :940-951).  ``adapter_reg_seq_
+  alter`` alternates class/group prompts on absolute epoch parity (:954-968);
+  ``--balance_val`` re-balances the reg subset every epoch (:920-921).
+- per-epoch validation on the val half (model selection by worst-group
+  accuracy, :1001-1008) and logging-only test evaluation (:1012-1017);
+  final zero-shot feature-quality probes (``validate_zs``, :725-803);
+  results JSON + checkpoint (:1050-1122).  NOTE: the reference stores *test*
+  results in the per-epoch "Val" slot (:1055, a known reporting bug); this
+  rebuild stores the actual validation results.
+
+All hot loops are the jitted scans of train/steps.py; this module only does
+epoch bookkeeping, sampling plans, and host-side metric dictionaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debiasing_multi_modal_tpu.data.groups import GroupTable
+from debiasing_multi_modal_tpu.data.samplers import (
+    balanced_subset_indices,
+    epoch_plan,
+    resampled_ce_weights,
+    stratified_split_indices,
+    weighted_sample_indices,
+)
+from debiasing_multi_modal_tpu.models.adapter import (
+    AdapterClassifier,
+    LinearClassifier,
+    MultipleAdapterClassifier,
+    zero_shot_logits,
+)
+from debiasing_multi_modal_tpu.train.config import TrainConfig
+from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
+from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
+from debiasing_multi_modal_tpu.train.steps import (
+    EpochStats,
+    TrainState,
+    eval_epoch,
+    freeze_subtrees,
+    init_train_state,
+    ones_mask,
+    train_epoch,
+)
+
+
+@dataclasses.dataclass
+class SplitArrays:
+    """One split's device-resident columns."""
+
+    emb: jax.Array  # [N, D] float32
+    y: np.ndarray
+    place: np.ndarray
+    group: np.ndarray
+    y_pred: np.ndarray
+
+    def __len__(self):
+        return len(self.y)
+
+    def labels(self, target: str) -> np.ndarray:
+        return {
+            "class": self.y,
+            "spurious": self.place,
+            "group": self.group,
+        }[target].astype(np.int32)
+
+    def take(self, idx: np.ndarray) -> "SplitArrays":
+        return SplitArrays(
+            emb=self.emb[np.asarray(idx)],
+            y=self.y[idx],
+            place=self.place[idx],
+            group=self.group[idx],
+            y_pred=self.y_pred[idx],
+        )
+
+
+@dataclasses.dataclass
+class DataBundle:
+    """Everything Stage B needs, resident in device/host memory."""
+
+    train: SplitArrays
+    val: SplitArrays
+    test: SplitArrays
+    text_class: np.ndarray  # [D, n_cls] un-normalized
+    text_spurious: np.ndarray  # [D, 2]
+    text_group: np.ndarray  # [D, 4]
+    train_group_ratio: np.ndarray  # [4]
+    n_groups: int = 4
+    n_places: int = 2
+
+
+def bundle_from_embedding_table(table, meta_by_split: Dict[str, GroupTable],
+                                text_class, text_spurious, text_group) -> DataBundle:
+    """Align an EmbeddingTable against per-split metadata (with the
+    consistency assert) and device-put the embedding blocks."""
+    splits = {}
+    for name, meta in meta_by_split.items():
+        sub = table.align_to(meta)
+        splits[name] = SplitArrays(
+            emb=jnp.asarray(sub.embeddings, jnp.float32),
+            y=sub.y.astype(np.int32),
+            place=sub.place.astype(np.int32),
+            group=sub.group.astype(np.int32),
+            y_pred=sub.y_pred.astype(np.int32),
+        )
+    train_meta = meta_by_split["train"]
+    return DataBundle(
+        train=splits["train"],
+        val=splits["val"],
+        test=splits["test"],
+        text_class=np.asarray(text_class, np.float32),
+        text_spurious=np.asarray(text_spurious, np.float32),
+        text_group=np.asarray(text_group, np.float32),
+        train_group_ratio=train_meta.group_ratio,
+        n_groups=train_meta.n_groups,
+        n_places=train_meta.n_places,
+    )
+
+
+# ----------------------------------------------------------------- helpers --
+
+
+def _stats_to_results(stats: EpochStats, bundle: DataBundle, weighted: bool):
+    return results_from_counts(
+        np.asarray(stats.corrects),
+        np.asarray(stats.counts),
+        n_places=bundle.n_places,
+        train_group_ratio=bundle.train_group_ratio if weighted else None,
+    )
+
+
+def _evaluate(
+    module,
+    state_params,
+    state_stats,
+    split: SplitArrays,
+    labels: np.ndarray,
+    text: np.ndarray,
+    batch_size: int,
+    bundle: DataBundle,
+) -> Dict[str, float]:
+    plan = epoch_plan(len(split), batch_size, shuffle=False)
+    stats = eval_epoch(
+        module,
+        state_params,
+        state_stats,
+        split.emb,
+        jnp.asarray(labels),
+        jnp.asarray(split.group),
+        jnp.asarray(plan.indices),
+        jnp.asarray(plan.mask),
+        jnp.asarray(text),
+        n_groups=bundle.n_groups,
+    )
+    return _stats_to_results(stats, bundle, weighted=True)
+
+
+def _host_copy(tree):
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
+def make_classifier(cfg: TrainConfig):
+    if cfg.tl_method == "linear_probing":
+        return LinearClassifier(num_classes=cfg.n_cls)
+    return AdapterClassifier(
+        hidden_dim=cfg.adapter_feat_dim, temperature=cfg.zs_temperature
+    )
+
+
+def make_multiple_classifier(cfg: TrainConfig):
+    return MultipleAdapterClassifier(
+        hidden_dim=cfg.adapter_feat_dim, temperature=cfg.zs_temperature
+    )
+
+
+def _init_variables(module, cfg: TrainConfig, rng_key, text_cols: int):
+    dummy = jnp.zeros((2, cfg.input_dim), jnp.float32)
+    text = jnp.zeros((cfg.input_dim, text_cols), jnp.float32)
+    variables = module.init(rng_key, dummy, text, mask=jnp.ones(2, bool), train=True)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+# -------------------------------------------------------------- main driver --
+
+
+def train_all_epochs(
+    cfg: TrainConfig,
+    bundle: DataBundle,
+    verbose: bool = True,
+    results_dir: Optional[str] = None,
+):
+    """Run the full schedule; returns ``((best_train, best_val, best_test),
+    (zs_class, zs_spurious), history)`` — the reference's return tuple
+    (final_main.py:1128) plus the epoch history."""
+    rng = np.random.default_rng(cfg.random_seed)
+    key = jax.random.PRNGKey(cfg.random_seed)
+
+    def log(*a):
+        if verbose:
+            print(*a)
+
+    # ----- data: reg/val split for the regularized methods
+    if cfg.is_reg_method:
+        reg_idx, val_idx = stratified_split_indices(bundle.val.group, 0.5, seed=42)
+        reg_split = bundle.val.take(reg_idx)
+        val_split = bundle.val.take(val_idx)
+    else:
+        reg_split, val_split = None, bundle.val
+
+    eval_bs = cfg.batch_size_reg if cfg.is_reg_method else cfg.batch_size
+
+    # ----- resampled train order weights (phase 1)
+    sample_weights = None
+    if cfg.resample_ce:
+        sample_weights = resampled_ce_weights(
+            bundle.train.y, bundle.train.y_pred, n_classes=cfg.n_cls,
+            correct_class_bias=True, reweighting_by_class=False,
+        )
+        log("Using [Resampled] Train loader for feature learning")
+
+    # ----- model/optimizer
+    single = make_classifier(cfg)
+    key, init_key = jax.random.split(key)
+    params, batch_stats = _init_variables(single, cfg, init_key, cfg.n_cls)
+    state = init_train_state(params, batch_stats)
+    full_mask = ones_mask(params)
+
+    multiple = make_multiple_classifier(cfg) if cfg.add_adapter else None
+    ma_state: Optional[TrainState] = None
+    ma_mask = None
+
+    train_labels = bundle.train.labels(cfg.train_target)
+    val_labels = val_split.labels(cfg.train_target)
+    test_labels_cls = bundle.test.labels("class")
+    reg_labels_target = reg_split.labels(cfg.train_target) if reg_split is not None else None
+    reg_labels_group = reg_split.group.astype(np.int32) if reg_split is not None else None
+
+    text_class = bundle.text_class
+    text_group = bundle.text_group
+
+    best = {"acc": 0.0, "epoch": 0, "params": None, "stats": None, "multiple": False}
+    history = {"train": [], "val": [], "test": []}
+
+    feat_epochs = cfg.epochs_feature_learning or cfg.epochs
+
+    def current_module_and_state(epoch):
+        if cfg.add_adapter and cfg.is_two_phase and epoch > feat_epochs:
+            return multiple, ma_state
+        return single, state
+
+    def run_train(sub_state, module, split, labels, text, bs, lrs_phase, epoch,
+                  order, mask_tree):
+        plan = epoch_plan(len(split), bs, shuffle=order is None, rng=rng, order=order)
+        lrs = epoch_batch_lrs(cfg, epoch, plan.num_batches, lrs_phase)
+        new_state, stats = train_epoch(
+            module,
+            sub_state,
+            split.emb,
+            jnp.asarray(labels),
+            jnp.asarray(split.group),
+            jnp.asarray(plan.indices),
+            jnp.asarray(plan.mask),
+            jnp.asarray(lrs),
+            jnp.asarray(text),
+            mask_tree,
+            n_groups=bundle.n_groups,
+            momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay,
+        )
+        return new_state, stats
+
+    for epoch in range(1, cfg.epochs + 1):
+        log(f"--- Epoch {epoch} ---")
+
+        # per-epoch balanced reg subset
+        if cfg.balance_val and cfg.is_reg_method:
+            bal_idx = balanced_subset_indices(reg_split.group, rng, bundle.n_groups)
+            reg_epoch_split = reg_split.take(bal_idx)
+            reg_epoch_labels_t = reg_labels_target[bal_idx]
+            reg_epoch_labels_g = reg_labels_group[bal_idx]
+            reg_bs = min(cfg.batch_size_reg, len(bal_idx))
+            reg_order = np.arange(len(bal_idx))  # already shuffled+interleaved
+        elif reg_split is not None:
+            reg_epoch_split = reg_split
+            reg_epoch_labels_t = reg_labels_target
+            reg_epoch_labels_g = reg_labels_group
+            reg_bs = cfg.batch_size_reg
+            reg_order = None  # shuffle
+        else:
+            reg_epoch_split = None
+
+        # ---------------- train one epoch
+        if cfg.tl_method == "adapter_reg":
+            # interleaved: train loader (class prompts) then reg loader
+            state, stats = run_train(
+                state, single, bundle.train, train_labels, text_class,
+                cfg.batch_size, 1, epoch, None, full_mask,
+            )
+            group_prompt = not cfg.use_cls_prompt_in_reg
+            state, _ = run_train(
+                state, single, reg_epoch_split,
+                reg_epoch_labels_g if group_prompt else reg_epoch_labels_t,
+                text_group if group_prompt else text_class,
+                reg_bs, 1, epoch, reg_order, full_mask,
+            )
+            train_res = _stats_to_results(stats, bundle, weighted=False)
+        elif cfg.is_two_phase and epoch > feat_epochs:
+            # ---------------- stage switch
+            if epoch == feat_epochs + 1:
+                if cfg.continue_from_best and best["params"] is not None:
+                    log("Load Best (Worst-acc) Model.")
+                    state = init_train_state(
+                        jax.tree.map(jnp.asarray, best["params"]),
+                        jax.tree.map(jnp.asarray, best["stats"]),
+                    )
+                if cfg.add_adapter:
+                    log("Stage 2) New adapter for balanced text prompts")
+                    key_new, key = jax.random.split(key)
+                    ma_params, ma_stats = _init_variables(
+                        multiple, cfg, key_new, cfg.n_cls
+                    )
+                    old_p = _host_copy(state.params["adapter"])
+                    old_s = _host_copy(state.batch_stats["adapter"])
+                    ma_params = dict(ma_params)
+                    ma_stats = dict(ma_stats)
+                    ma_params["old"] = jax.tree.map(jnp.asarray, old_p)
+                    ma_stats["old"] = jax.tree.map(jnp.asarray, old_s)
+                    if cfg.init_near_identity:
+                        log("Initialize [New adapter] from [Old adapter]")
+                        ma_params["new"] = jax.tree.map(jnp.asarray, old_p)
+                        ma_stats["new"] = jax.tree.map(jnp.asarray, old_s)
+                    ma_state = init_train_state(ma_params, ma_stats)
+                    ma_mask = freeze_subtrees(ma_params, ("old",))
+                else:
+                    # fresh optimizer on the same params (momentum reset)
+                    state = init_train_state(state.params, state.batch_stats)
+
+            if cfg.tl_method == "adapter_reg_seq_alter":
+                use_group = (epoch % 2) == 0
+            else:
+                use_group = not cfg.use_cls_prompt_in_reg
+
+            labels2 = reg_epoch_labels_g if use_group else reg_epoch_labels_t
+            text2 = text_group if use_group else text_class
+            if cfg.add_adapter:
+                ma_state, stats = run_train(
+                    ma_state, multiple, reg_epoch_split, labels2, text2,
+                    reg_bs, 2, epoch, reg_order, ma_mask,
+                )
+            else:
+                state, stats = run_train(
+                    state, single, reg_epoch_split, labels2, text2,
+                    reg_bs, 2, epoch, reg_order, full_mask,
+                )
+            train_res = _stats_to_results(stats, bundle, weighted=False)
+        else:
+            # plain ERM epoch (linear_probing / adapter / phase 1)
+            order = None
+            if sample_weights is not None:
+                order = weighted_sample_indices(
+                    sample_weights, len(bundle.train), rng
+                )
+            state, stats = run_train(
+                state, single, bundle.train, train_labels, text_class,
+                cfg.batch_size, 1, epoch, order, full_mask,
+            )
+            train_res = _stats_to_results(stats, bundle, weighted=False)
+
+        # ---------------- evaluate
+        module, cur = current_module_and_state(epoch)
+        val_res = _evaluate(
+            module, cur.params, cur.batch_stats, val_split, val_labels,
+            text_class, eval_bs, bundle,
+        )
+        test_res = _evaluate(
+            module, cur.params, cur.batch_stats, bundle.test, test_labels_cls,
+            text_class, eval_bs, bundle,
+        )
+        history["train"].append(ordered(train_res))
+        history["val"].append(ordered(val_res))
+        history["test"].append(ordered(test_res))
+        log("Train:", ordered(train_res))
+        log("Val:", ordered(val_res))
+        log("Test:", ordered(test_res))
+
+        if val_res["worst_acc"] > best["acc"]:
+            best.update(
+                acc=val_res["worst_acc"],
+                epoch=epoch,
+                params=_host_copy(cur.params),
+                stats=_host_copy(cur.batch_stats),
+                multiple=module is multiple,
+            )
+
+    if best["params"] is None:  # degenerate run — keep the final model
+        module, cur = current_module_and_state(cfg.epochs)
+        best.update(
+            epoch=cfg.epochs,
+            params=_host_copy(cur.params),
+            stats=_host_copy(cur.batch_stats),
+            multiple=module is multiple,
+        )
+
+    best_epoch = best["epoch"] if best["epoch"] > 0 else cfg.epochs
+    best_train = history["train"][best_epoch - 1]
+    best_val = history["val"][best_epoch - 1]
+    best_test = history["test"][best_epoch - 1]
+    log(f"best epoch : {best_epoch}")
+
+    # ---------------- zero-shot feature-quality probes on the best model
+    best_module = multiple if best["multiple"] else single
+    best_params = jax.tree.map(jnp.asarray, best["params"])
+    best_stats = jax.tree.map(jnp.asarray, best["stats"])
+
+    def zs_eval(target: str) -> Dict[str, float]:
+        text = bundle.text_class if target == "class" else bundle.text_spurious
+        labels = bundle.test.labels(target)
+        if cfg.tl_method == "linear_probing":
+            # raw-embedding zero shot (the pure CLIP baseline, ~39% worst)
+            logits = np.asarray(
+                zero_shot_logits(
+                    bundle.test.emb, jnp.asarray(text), cfg.zs_temperature
+                )
+            )
+            correct = logits.argmax(1) == labels
+            corr = np.bincount(
+                bundle.test.group, weights=correct, minlength=bundle.n_groups
+            )
+            cnt = np.bincount(bundle.test.group, minlength=bundle.n_groups)
+            return results_from_counts(
+                corr, cnt, bundle.n_places, bundle.train_group_ratio
+            )
+        return _evaluate(
+            best_module, best_params, best_stats, bundle.test, labels, text,
+            eval_bs, bundle,
+        )
+
+    zs_class = zs_eval("class")
+    zs_spurious = zs_eval("spurious")
+    log("zero-shot (test, class):", ordered(zs_class))
+    log("zero-shot (test, spurious):", ordered(zs_spurious))
+
+    if cfg.save_results and results_dir:
+        os.makedirs(results_dir, exist_ok=True)
+        name = encode_run_name(cfg)
+        payload = {
+            "Final Results (best epoch)": {
+                f"Epoch {best_epoch}": {
+                    "Train": best_train, "Val": best_val, "Test": best_test,
+                }
+            },
+            "Feature Quality (using zs)": {
+                "class": ordered(zs_class),
+                "spurious": ordered(zs_spurious),
+            },
+            "All Results (all epoch)": {
+                f"Epoch {e + 1}": {
+                    "Train": history["train"][e],
+                    "Val": history["val"][e],
+                    "Test": history["test"][e],
+                }
+                for e in range(cfg.epochs)
+            },
+        }
+        with open(os.path.join(results_dir, name + ".json"), "w") as f:
+            json.dump(payload, f, indent=4)
+        from debiasing_multi_modal_tpu.weights.convert import save_orbax
+
+        save_orbax(
+            {"params": best["params"], "batch_stats": best["stats"]},
+            os.path.join(results_dir, name + ".ckpt"),
+        )
+
+    return (best_train, best_val, best_test), (ordered(zs_class), ordered(zs_spurious)), history
+
+
+def encode_run_name(cfg: TrainConfig) -> str:
+    """Encoded experiment filename (reference final_main.py:1070-1096)."""
+    name = (
+        f"im_clip_t_clip_class_tl_{cfg.tl_method}_t_{cfg.train_target}"
+        f"_lr_{cfg.learning_rate}_bs_{cfg.batch_size}"
+    )
+    if "reg" in cfg.tl_method:
+        name += f"_lrr{cfg.learning_rate_reg}_bsr_{cfg.batch_size_reg}"
+        if cfg.balance_val:
+            name += "_balval"
+        if cfg.tl_method != "adapter_reg_seq_alter":
+            name += "_CP" if cfg.use_cls_prompt_in_reg else "_GP"
+        if cfg.add_adapter:
+            name += "_MA" + ("+ni" if cfg.init_near_identity else "+rn")
+        if cfg.continue_from_best and "seq" in cfg.tl_method:
+            name += "_cont"
+    if cfg.resample_ce:
+        name += "_rs"
+    return name

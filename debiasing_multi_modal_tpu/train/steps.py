@@ -1,0 +1,201 @@
+"""Jitted training/evaluation over whole epochs.
+
+The reference's per-batch Python loop (final_main.py:426-653) becomes one
+``lax.scan`` inside a single jitted function per epoch: batches are gathered
+on device from the resident embedding table by the epoch's index plan
+(data/samplers.BatchPlan), the per-batch learning-rate vector comes from the
+pure schedule functions, and group-accuracy meters ride the scan carry as
+segment sums.  SGD reproduces torch semantics exactly: ``d = g + wd * p``,
+``buf = momentum * buf + d``, ``p -= lr * buf`` (demo/util.py:118-136),
+with a 0/1 mask tree standing in for ``set_optimizer_reg``'s parameter
+filtering (frozen old adapter).
+
+Static shapes: the last partial batch is padded under a False mask
+(drop_last=False parity); CE, BatchNorm statistics, and metrics all honor the
+mask, so numerics match the reference's variable-size final batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.train.losses import masked_cross_entropy
+from debiasing_multi_modal_tpu.train.metrics import batch_group_counts
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    trace: Any  # SGD momentum buffers
+
+
+def init_train_state(params, batch_stats) -> TrainState:
+    trace = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(params, batch_stats, trace)
+
+
+def reset_optimizer(state: TrainState) -> TrainState:
+    """Fresh momentum at the phase boundary (final_main.py:947-950)."""
+    return TrainState(state.params, state.batch_stats, jax.tree.map(jnp.zeros_like, state.params))
+
+
+def ones_mask(params):
+    return jax.tree.map(lambda p: jnp.float32(1.0), params)
+
+
+def freeze_subtrees(params, frozen_names: Tuple[str, ...]):
+    """0/1 mask tree: 0 for params under any top-level name in frozen_names."""
+    return {
+        k: jax.tree.map(
+            lambda p, z=(k in frozen_names): jnp.float32(0.0 if z else 1.0), v
+        )
+        for k, v in params.items()
+    }
+
+
+def _sgd(params, grads, trace, lr, momentum, weight_decay, mask):
+    new_trace = jax.tree.map(
+        lambda p, g, t, m: momentum * t
+        + (g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)) * m,
+        params,
+        grads,
+        trace,
+        mask,
+    )
+    new_params = jax.tree.map(
+        lambda p, t: (p - lr * t).astype(p.dtype), params, new_trace
+    )
+    return new_params, new_trace
+
+
+class EpochStats(NamedTuple):
+    corrects: jax.Array  # [n_groups]
+    counts: jax.Array  # [n_groups]
+    loss_sum: jax.Array  # sum(loss * n_valid)
+    n: jax.Array  # total valid examples
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("module", "n_groups", "momentum", "weight_decay"),
+    donate_argnums=(1,),
+)
+def train_epoch(
+    module,
+    state: TrainState,
+    embeddings: jax.Array,  # [N, D] resident on device
+    labels: jax.Array,  # [N] int32 — already the chosen target (class/group/...)
+    groups: jax.Array,  # [N] int32 — for metrics
+    idx: jax.Array,  # [nb, B] int32 batch plan
+    mask: jax.Array,  # [nb, B] bool
+    lrs: jax.Array,  # [nb] float32
+    text: jax.Array,  # [D, C] un-normalized text matrix
+    train_mask: Any,  # 0/1 pytree over params
+    *,
+    module_kwargs: Optional[Dict[str, Any]] = None,
+    n_groups: int = 4,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-5,
+) -> Tuple[TrainState, EpochStats]:
+    kwargs = module_kwargs or {}
+
+    def body(carry, xs):
+        st, acc = carry
+        b_idx, b_mask, lr = xs
+        emb = embeddings[b_idx]
+        lab = labels[b_idx]
+        grp = groups[b_idx]
+
+        def loss_fn(p):
+            logits, mutated = module.apply(
+                {"params": p, "batch_stats": st.batch_stats},
+                emb,
+                text,
+                mask=b_mask,
+                train=True,
+                mutable=["batch_stats"],
+                **kwargs,
+            )
+            return masked_cross_entropy(logits, lab, b_mask), (logits, mutated)
+
+        (loss, (logits, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params
+        )
+        new_params, new_trace = _sgd(
+            st.params, grads, st.trace, lr, momentum, weight_decay, train_mask
+        )
+        st = TrainState(new_params, mutated["batch_stats"], new_trace)
+
+        c, n = batch_group_counts(logits, lab, grp, b_mask, n_groups)
+        nvalid = b_mask.astype(jnp.float32).sum()
+        acc = EpochStats(
+            acc.corrects + c,
+            acc.counts + n,
+            acc.loss_sum + loss * nvalid,
+            acc.n + nvalid,
+        )
+        return (st, acc), None
+
+    zeros = EpochStats(
+        jnp.zeros(n_groups, jnp.float32),
+        jnp.zeros(n_groups, jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+    (state, stats), _ = jax.lax.scan(body, (state, zeros), (idx, mask, lrs))
+    return state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("module", "n_groups"))
+def eval_epoch(
+    module,
+    params,
+    batch_stats,
+    embeddings: jax.Array,
+    labels: jax.Array,
+    groups: jax.Array,
+    idx: jax.Array,
+    mask: jax.Array,
+    text: jax.Array,
+    *,
+    module_kwargs: Optional[Dict[str, Any]] = None,
+    n_groups: int = 4,
+) -> EpochStats:
+    """Evaluation with running BatchNorm statistics (classifier.eval())."""
+    kwargs = module_kwargs or {}
+
+    def body(acc, xs):
+        b_idx, b_mask = xs
+        emb = embeddings[b_idx]
+        lab = labels[b_idx]
+        grp = groups[b_idx]
+        logits = module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            emb,
+            text,
+            mask=b_mask,
+            train=False,
+            **kwargs,
+        )
+        loss = masked_cross_entropy(logits, lab, b_mask)
+        c, n = batch_group_counts(logits, lab, grp, b_mask, n_groups)
+        nvalid = b_mask.astype(jnp.float32).sum()
+        return (
+            EpochStats(
+                acc.corrects + c, acc.counts + n, acc.loss_sum + loss * nvalid, acc.n + nvalid
+            ),
+            None,
+        )
+
+    zeros = EpochStats(
+        jnp.zeros(n_groups, jnp.float32),
+        jnp.zeros(n_groups, jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+    stats, _ = jax.lax.scan(body, zeros, (idx, mask))
+    return stats

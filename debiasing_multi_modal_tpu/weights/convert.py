@@ -211,6 +211,48 @@ def variables_from_state_dict(
     return variables
 
 
+def _adapter_mlp_from_torch(sd: Mapping[str, np.ndarray], prefix: str):
+    """Reference ``Adapter`` state (``layers.0`` Linear / ``layers.1``
+    BatchNorm1d / ``layers.3`` Linear, final_main.py:160-174) -> AdapterMLP
+    params + batch_stats."""
+    params = {
+        "fc1": {
+            "kernel": np.asarray(sd[f"{prefix}layers.0.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{prefix}layers.0.bias"], np.float32),
+        },
+        "bn": {
+            "scale": np.asarray(sd[f"{prefix}layers.1.weight"], np.float32),
+            "bias": np.asarray(sd[f"{prefix}layers.1.bias"], np.float32),
+        },
+        "fc2": {
+            "kernel": np.asarray(sd[f"{prefix}layers.3.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{prefix}layers.3.bias"], np.float32),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": np.asarray(sd[f"{prefix}layers.1.running_mean"], np.float32),
+            "var": np.asarray(sd[f"{prefix}layers.1.running_var"], np.float32),
+        }
+    }
+    return params, stats
+
+
+def adapter_variables_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a reference adapter checkpoint (CustomCLIP or MultipleAdapter
+    state dict, e.g. trained_model/*.pth) into this package's classifier
+    variables."""
+    if any(k.startswith("old_cls.") for k in sd):
+        old_p, old_s = _adapter_mlp_from_torch(sd, "old_cls.adapter.")
+        new_p, new_s = _adapter_mlp_from_torch(sd, "new_adapter.")
+        return {
+            "params": {"old": old_p, "new": new_p},
+            "batch_stats": {"old": old_s, "new": new_s},
+        }
+    p, s = _adapter_mlp_from_torch(sd, "adapter.")
+    return {"params": {"adapter": p}, "batch_stats": {"adapter": s}}
+
+
 def save_orbax(variables, path: str):
     """Persist converted variables with Orbax (the framework's native format)."""
     import orbax.checkpoint as ocp

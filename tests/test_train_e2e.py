@@ -1,0 +1,150 @@
+"""End-to-end two-phase trainer tests on the synthetic spurious-correlation
+fixture: the full method ladder runs, model selection works, and the
+debiasing methods beat plain ERM on worst-group accuracy — the qualitative
+shape of the reference's ablation table (SURVEY.md §6)."""
+
+import numpy as np
+import pytest
+
+from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+from debiasing_multi_modal_tpu.train.config import TrainConfig
+from debiasing_multi_modal_tpu.train.loop import (
+    DataBundle,
+    SplitArrays,
+    bundle_from_embedding_table,
+    encode_run_name,
+    train_all_epochs,
+)
+
+
+def _bundle(spec=None):
+    import jax.numpy as jnp
+
+    meta, table, text_class, text_group, text_spurious = make_synthetic_dataset(
+        spec or SyntheticSpec()
+    )
+    meta_by_split = {
+        name: meta.take(np.where(meta.split == sid)[0])
+        for name, sid in (("train", 0), ("val", 1), ("test", 2))
+    }
+    return bundle_from_embedding_table(
+        table, meta_by_split, text_class, text_spurious, text_group
+    )
+
+
+BASE = dict(
+    dataset="waterbirds",
+    input_dim=64,
+    adapter_feat_dim=16,
+    batch_size=128,
+    batch_size_reg=32,
+    learning_rate=0.5,
+    learning_rate_reg=0.5,
+    lr_decay_epochs=(100,),
+    random_seed=42,
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return _bundle()
+
+
+def test_linear_probing_runs(bundle):
+    cfg = TrainConfig(tl_method="linear_probing", epochs=3, **BASE)
+    (tr, va, te), (zs_c, zs_s), hist = train_all_epochs(cfg, bundle, verbose=False)
+    assert 0 <= te["worst_acc"] <= 1
+    assert len(hist["val"]) == 3
+    # linear_probing ZS probe is the raw CLIP baseline — biased on synthetic
+    assert zs_c["worst_acc"] < 0.7
+
+
+def test_erm_adapter_is_biased(bundle):
+    cfg = TrainConfig(tl_method="adapter", epochs=8, **BASE)
+    (tr, va, te), _, _ = train_all_epochs(cfg, bundle, verbose=False)
+    # strong spurious cue: excellent train-distribution-weighted accuracy,
+    # collapsed worst group (the test split is group-balanced)
+    assert te["weighted_mean_acc"] > 0.85
+    assert te["worst_acc"] < 0.5
+
+
+@pytest.mark.parametrize("method", ["adapter_reg_seq", "adapter_reg_seq_alter"])
+def test_two_phase_debiasing_beats_erm(bundle, method):
+    erm = TrainConfig(tl_method="adapter", epochs=6, **BASE)
+    (_, _, te_erm), _, _ = train_all_epochs(erm, bundle, verbose=False)
+
+    cfg = TrainConfig(
+        tl_method=method,
+        epochs=16,
+        epochs_feature_learning=6,
+        balance_val=True,
+        warm_reg=True,
+        **BASE,
+    )
+    (tr, va, te), (zs_c, zs_s), hist = train_all_epochs(cfg, bundle, verbose=False)
+    assert te["worst_acc"] >= te_erm["worst_acc"], (te, te_erm)
+    assert te["worst_acc"] > 0.6
+
+
+def test_multiple_adapter_path(bundle):
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter",
+        epochs=24,
+        epochs_feature_learning=6,
+        add_adapter=True,
+        init_near_identity=True,
+        continue_from_best=True,
+        balance_val=True,
+        **BASE,
+    )
+    (tr, va, te), (zs_c, zs_s), hist = train_all_epochs(cfg, bundle, verbose=False)
+    # the frozen 0.5-blended old branch caps the recovery rate; with ~9 group
+    # epochs the worst group must clearly improve over the collapsed ERM model
+    assert te["worst_acc"] > 0.3
+    # zs class probe of the best (multiple-adapter) model equals its test acc shape
+    assert set(zs_c) >= {"worst_acc", "mean_acc", "weighted_mean_acc"}
+
+
+def test_adapter_reg_interleaved(bundle):
+    cfg = TrainConfig(tl_method="adapter_reg", epochs=6, **BASE)
+    (_, _, te), _, _ = train_all_epochs(cfg, bundle, verbose=False)
+    assert te["mean_acc"] > 0.6
+
+
+def test_resample_ce_path(bundle):
+    cfg = TrainConfig(tl_method="adapter", epochs=6, resample_ce=True, **BASE)
+    (_, _, te), _, _ = train_all_epochs(cfg, bundle, verbose=False)
+    assert te["mean_acc"] > 0.6
+
+
+def test_save_results_schema(tmp_path, bundle):
+    import json
+
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter",
+        epochs=4,
+        epochs_feature_learning=2,
+        add_adapter=True,
+        save_results=True,
+        **BASE,
+    )
+    train_all_epochs(cfg, bundle, verbose=False, results_dir=str(tmp_path))
+    name = encode_run_name(cfg)
+    assert name.endswith("_MA+rn")
+    payload = json.loads((tmp_path / (name + ".json")).read_text())
+    assert set(payload) == {
+        "Final Results (best epoch)",
+        "Feature Quality (using zs)",
+        "All Results (all epoch)",
+    }
+    epochs = payload["All Results (all epoch)"]
+    assert len(epochs) == 4
+    rec = epochs["Epoch 1"]["Test"]
+    assert "worst_acc" in rec and "weighted_mean_acc" in rec
+
+
+def test_determinism_same_seed(bundle):
+    cfg = TrainConfig(tl_method="adapter", epochs=3, **BASE)
+    r1 = train_all_epochs(cfg, bundle, verbose=False)
+    r2 = train_all_epochs(cfg, bundle, verbose=False)
+    assert r1[0] == r2[0]
