@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: CLIP RN50 image-embedding extraction throughput.
+
+Measures imgs/sec/chip through the full Stage-A hot path — on-device
+preprocess (resize+crop+normalize from uint8), bf16 RN50 forward, f32
+zero-shot head — on whatever accelerator JAX exposes (one TPU chip under the
+driver).  Weights are randomly initialized (numerics are irrelevant to
+throughput; the architecture and dtypes are the real ones).
+
+Prints ONE JSON line:
+  {"metric": "rn50_extract_imgs_per_sec_per_chip", "value": N,
+   "unit": "imgs/sec/chip", "vs_baseline": N / 5000.0}
+
+vs_baseline is against the driver-set target of 5,000 imgs/sec/chip
+(BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from debiasing_multi_modal_tpu.extract.runner import ExtractionRunner
+    from debiasing_multi_modal_tpu.models import create_clip, init_clip
+    from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+    backend = jax.default_backend()
+    on_accel = backend not in ("cpu",)
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+
+    if on_accel:
+        model = create_clip("RN50", dtype=dtype)
+        batch = 512
+        res_in = 256  # exercise the on-device resize+crop path
+        iters, warmup = 20, 3
+    else:  # CPU smoke configuration (driver runs on TPU)
+        from debiasing_multi_modal_tpu.models.config import CLIPConfig
+
+        model = create_clip(
+            CLIPConfig(
+                name="tiny-rn",
+                embed_dim=64,
+                image_resolution=64,
+                vision_layers=(1, 1, 1, 1),
+                vision_width=8,
+                vision_patch_size=None,
+                transformer_width=64,
+                transformer_heads=1,
+                transformer_layers=1,
+            )
+        )
+        batch = 32
+        res_in = 72
+        iters, warmup = 3, 1
+
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    text = np.random.default_rng(0).standard_normal(
+        (2, model.config.embed_dim)
+    ).astype(np.float32)
+
+    n_chips = len(jax.devices())
+    runner = ExtractionRunner(model, variables, text, mesh=make_mesh((n_chips,)))
+
+    rng = np.random.default_rng(0)
+    images = (rng.random((batch, res_in, res_in, 3)) * 255).astype(np.uint8)
+    images_dev = jnp.asarray(images)
+
+    # Timing uses an accumulated scalar dependency chain and a final host
+    # fetch — block_until_ready alone is not a reliable barrier over the
+    # remote-TPU (axon) tunnel.
+    def timed_step(images_dev):
+        emb, preds = runner._step(runner.variables, runner.zs_weights, images_dev)
+        return emb.astype(jnp.float32).mean() + preds.sum().astype(jnp.float32)
+
+    acc = jnp.float32(0.0)
+    for _ in range(warmup):
+        acc = acc + timed_step(images_dev)
+    float(acc)
+
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
+    for _ in range(iters):
+        acc = acc + timed_step(images_dev)
+    float(acc)  # host fetch = hard barrier
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    per_chip = imgs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "rn50_extract_imgs_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(per_chip / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,5 @@
+from debiasing_multi_modal_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+)
