@@ -82,7 +82,6 @@ class EpochStats(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("module", "n_groups", "momentum", "weight_decay"),
-    donate_argnums=(1,),
 )
 def train_epoch(
     module,
