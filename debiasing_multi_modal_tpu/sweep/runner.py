@@ -1,0 +1,129 @@
+"""Grid x seed sweep driver with mean±std aggregation.
+
+Parity surface: reference ``run_multiple/final_main_iteration_wb.py`` (multi-
+seed loop + pandas aggregation, :1129-1202) and ``..._iteration_ca.py``
+(lr x bs x bsr grid wrapping the seed loop, :1179-1256, with
+``learning_rate_reg = lr * lr_multiple``): per-cell CSVs named
+``ds_{dataset}_tl_{method}_bs_{bs}_lr_{lr}[...].csv`` whose rows are
+per-seed results plus mean/std rows, concatenating the test / zs-spurious /
+train / val / zs-target blocks.
+
+Execution is either the vmapped simultaneous-seed program (default — the
+TPU-native replacement for per-GPU hand-parallel sweeps) or the sequential
+loop (debug/verification)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from debiasing_multi_modal_tpu.train.config import TrainConfig
+from debiasing_multi_modal_tpu.train.loop import DataBundle, train_all_epochs
+from debiasing_multi_modal_tpu.sweep.vmap_loop import train_seeds_vmapped
+
+
+def run_seeds(
+    cfg: TrainConfig,
+    bundle: DataBundle,
+    seeds: Sequence[int],
+    use_vmap: bool = True,
+    verbose: bool = False,
+):
+    """Per-seed result tuples ((train, val, test), (zs_class, zs_spurious))."""
+    if use_vmap:
+        return train_seeds_vmapped(cfg, bundle, seeds, verbose=verbose)
+    out = []
+    for seed in seeds:
+        res = train_all_epochs(cfg.replace(random_seed=seed), bundle, verbose=verbose)
+        out.append((res[0], res[1]))
+    return out
+
+
+def _block(rows: List[Dict[str, float]], label: str) -> List[Tuple[str, Dict[str, float]]]:
+    keys = sorted({k for r in rows for k in r})
+    mat = np.asarray([[r.get(k, np.nan) for k in keys] for r in rows], np.float64)
+    out = [(str(i + 1), dict(zip(keys, mat[i]))) for i in range(len(rows))]
+    out.append((f"{label}_mean", dict(zip(keys, np.nanmean(mat, axis=0)))))
+    # pandas .std() default ddof=1 (the reference's aggregation)
+    std = np.nanstd(mat, axis=0, ddof=1) if len(rows) > 1 else np.zeros(len(keys))
+    out.append((f"{label}_std", dict(zip(keys, std))))
+    return out
+
+
+def aggregate_csv(results, path: str):
+    """Write the reference's concatenated result CSV for one sweep cell."""
+    tr = [r[0][0] for r in results]
+    va = [r[0][1] for r in results]
+    te = [r[0][2] for r in results]
+    zs_t = [r[1][0] for r in results]
+    zs_s = [r[1][1] for r in results]
+    blocks = (
+        _block(te, "test")
+        + _block(zs_s, "zs_spu")
+        + _block(tr, "tr")
+        + _block(va, "val")
+        + _block(zs_t, "zs_tg")
+    )
+    keys = sorted({k for _, row in blocks for k in row})
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("," + ",".join(keys) + "\n")
+        for name, row in blocks:
+            vals = ",".join(
+                "" if k not in row or np.isnan(row[k]) else f"{round(row[k], 4)}"
+                for k in keys
+            )
+            f.write(f"{name},{vals}\n")
+
+
+def cell_filename(cfg: TrainConfig) -> str:
+    """Reference CSV naming (final_main_iteration_wb.py:1162-1199)."""
+    name = f"ds_{cfg.dataset}_tl_{cfg.tl_method}_bs_{cfg.batch_size}_lr_{cfg.learning_rate}"
+    if "reg" in cfg.tl_method:
+        name += f"_lrr{cfg.learning_rate_reg}_bsr{cfg.batch_size_reg}"
+        if cfg.balance_val:
+            name += "_balval"
+        if cfg.tl_method != "adapter_reg_seq_alter":
+            name += "_CP" if cfg.use_cls_prompt_in_reg else "_GP"
+        if cfg.add_adapter:
+            name += "_MA" + ("+ni" if cfg.init_near_identity else "+rn")
+        if cfg.continue_from_best and "seq" in cfg.tl_method:
+            name += "_cont"
+    if cfg.resample_ce:
+        name += "_rs"
+    return name + ".csv"
+
+
+def run_sweep(
+    base_cfg: TrainConfig,
+    bundle: DataBundle,
+    seeds: Sequence[int],
+    lr_list: Iterable[float] = (None,),
+    bs_list: Iterable[int] = (None,),
+    bsr_list: Iterable[int] = (None,),
+    lr_multiple: Optional[float] = None,
+    result_root: str = "results_iterative",
+    use_vmap: bool = True,
+    verbose: bool = False,
+) -> Dict[str, list]:
+    """Nested lr x bs x bsr grid, each cell trained over all seeds."""
+    all_results = {}
+    for lr in lr_list:
+        for bs in bs_list:
+            for bsr in bsr_list:
+                cfg = base_cfg
+                if lr is not None:
+                    cfg = cfg.replace(learning_rate=lr)
+                    if lr_multiple is not None:
+                        cfg = cfg.replace(learning_rate_reg=lr * lr_multiple)
+                if bs is not None:
+                    cfg = cfg.replace(batch_size=bs)
+                if bsr is not None:
+                    cfg = cfg.replace(batch_size_reg=bsr)
+                results = run_seeds(cfg, bundle, seeds, use_vmap=use_vmap, verbose=verbose)
+                path = os.path.join(result_root, cell_filename(cfg))
+                aggregate_csv(results, path)
+                all_results[path] = results
+    return all_results

@@ -1,0 +1,378 @@
+"""Multi-seed training as ONE vmapped program.
+
+Parity surface: the reference's multi-seed drivers re-run ``train_all_epochs``
+per seed in a Python loop on one GPU (run_multiple/final_main_iteration_wb.py:
+1129-1140).  The TPU-native replacement vmaps the whole epoch over a leading
+seed axis: adapter parameters are tiny (~1 MB), so S seeds train
+simultaneously in one XLA program per epoch — the BASELINE.json config-4
+"vmapped parallel adapter trainings".
+
+Seed semantics mirror train/loop.py exactly: each seed gets its own numpy
+Generator (shuffles, balancing, resampling) and its own PRNGKey (param init),
+consumed in the same order as the sequential loop — tested for equivalence
+against it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debiasing_multi_modal_tpu.data.samplers import (
+    balanced_subset_indices,
+    epoch_plan,
+    resampled_ce_weights,
+    stratified_split_indices,
+    weighted_sample_indices,
+)
+from debiasing_multi_modal_tpu.train.config import TrainConfig
+from debiasing_multi_modal_tpu.train.loop import (
+    DataBundle,
+    _init_variables,
+    make_classifier,
+    make_multiple_classifier,
+)
+from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
+from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
+from debiasing_multi_modal_tpu.train.steps import (
+    TrainState,
+    eval_epoch,
+    freeze_subtrees,
+    init_train_state,
+    ones_mask,
+    train_epoch,
+)
+
+
+def _tree_stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _host_tree(tree):
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
+def train_seeds_vmapped(
+    cfg: TrainConfig,
+    bundle: DataBundle,
+    seeds: Sequence[int],
+    verbose: bool = False,
+):
+    """Train all seeds simultaneously; returns a list (per seed) of the same
+    ``((best_train, best_val, best_test), (zs_class, zs_spurious))`` tuples
+    the sequential loop produces."""
+    S = len(seeds)
+    rngs = [np.random.default_rng(s) for s in seeds]
+    keys = [jax.random.PRNGKey(s) for s in seeds]
+
+    if cfg.is_reg_method:
+        reg_idx, val_idx = stratified_split_indices(bundle.val.group, 0.5, seed=42)
+        reg_split = bundle.val.take(reg_idx)
+        val_split = bundle.val.take(val_idx)
+    else:
+        reg_split, val_split = None, bundle.val
+    eval_bs = cfg.batch_size_reg if cfg.is_reg_method else cfg.batch_size
+
+    sample_weights = None
+    if cfg.resample_ce:
+        sample_weights = resampled_ce_weights(
+            bundle.train.y, bundle.train.y_pred, n_classes=cfg.n_cls,
+            correct_class_bias=True, reweighting_by_class=False,
+        )
+
+    single = make_classifier(cfg)
+    multiple = make_multiple_classifier(cfg) if cfg.add_adapter else None
+
+    inits = []
+    for i in range(S):
+        keys[i], init_key = jax.random.split(keys[i])
+        inits.append(_init_variables(single, cfg, init_key, cfg.n_cls))
+    params = _tree_stack([p for p, _ in inits])
+    stats = _tree_stack([s for _, s in inits])
+    state = init_train_state(params, stats)
+    full_mask = ones_mask(inits[0][0])  # scalar-leaf mask, shared across seeds
+
+    ma_state: Optional[TrainState] = None
+    ma_mask = None
+
+    train_labels = bundle.train.labels(cfg.train_target)
+    val_labels = val_split.labels(cfg.train_target)
+    test_labels_cls = bundle.test.labels("class")
+    reg_labels_target = reg_split.labels(cfg.train_target) if reg_split is not None else None
+    reg_labels_group = reg_split.group.astype(np.int32) if reg_split is not None else None
+
+    text_class, text_group = bundle.text_class, bundle.text_group
+    feat_epochs = cfg.epochs_feature_learning or cfg.epochs
+
+    # Per-seed best snapshots (kept unstacked: a seed's best may predate the
+    # MultipleAdapter switch while another's postdates it, so tree structures
+    # can differ across seeds).
+    best = {
+        "acc": np.zeros(S),
+        "epoch": np.zeros(S, np.int64),
+        "params": [None] * S,
+        "stats": [None] * S,
+        "multiple": np.zeros(S, bool),
+    }
+    history = {"train": [[] for _ in range(S)], "val": [[] for _ in range(S)],
+               "test": [[] for _ in range(S)]}
+
+    def vm_train(module, st, split, labels, text, plansS, lrs, mask_tree):
+        idxS = jnp.asarray(np.stack([p.indices for p in plansS]))
+        maskS = jnp.asarray(np.stack([p.mask for p in plansS]))
+        lab = jnp.asarray(labels)
+        grp = jnp.asarray(split.group)
+        txt = jnp.asarray(text)
+        lrsj = jnp.asarray(lrs)
+
+        def one(st_i, idx_i, msk_i):
+            return train_epoch(
+                module, st_i, split.emb, lab, grp, idx_i, msk_i, lrsj, txt,
+                mask_tree,
+                n_groups=bundle.n_groups, momentum=cfg.momentum,
+                weight_decay=cfg.weight_decay,
+            )
+
+        return jax.vmap(one)(st, idxS, maskS)
+
+    def vm_eval(module, paramsS, statsS, split, labels, text):
+        plan = epoch_plan(len(split), eval_bs, shuffle=False)
+        lab = jnp.asarray(labels)
+        grp = jnp.asarray(split.group)
+        idx = jnp.asarray(plan.indices)
+        msk = jnp.asarray(plan.mask)
+        txt = jnp.asarray(text)
+
+        def one(p, s):
+            return eval_epoch(
+                module, p, s, split.emb, lab, grp, idx, msk, txt,
+                n_groups=bundle.n_groups,
+            )
+
+        return jax.vmap(one)(paramsS, statsS)
+
+    def stats_to_results(statsS, weighted):
+        out = []
+        for i in range(S):
+            out.append(
+                results_from_counts(
+                    np.asarray(statsS.corrects[i]),
+                    np.asarray(statsS.counts[i]),
+                    n_places=bundle.n_places,
+                    train_group_ratio=bundle.train_group_ratio if weighted else None,
+                )
+            )
+        return out
+
+    def make_plans(split_len, bs, orders=None, shuffle=True):
+        plans = []
+        for i in range(S):
+            order = None if orders is None else orders[i]
+            plans.append(
+                epoch_plan(split_len, bs, shuffle=shuffle and order is None,
+                           rng=rngs[i], order=order)
+            )
+        return plans
+
+    for epoch in range(1, cfg.epochs + 1):
+        # per-seed balanced reg orders
+        if cfg.balance_val and cfg.is_reg_method:
+            reg_orders = [
+                balanced_subset_indices(reg_split.group, rngs[i], bundle.n_groups)
+                for i in range(S)
+            ]
+            reg_bs = min(cfg.batch_size_reg, len(reg_orders[0]))
+        elif reg_split is not None:
+            reg_orders = None
+            reg_bs = cfg.batch_size_reg
+
+        if cfg.tl_method == "adapter_reg":
+            plans = make_plans(len(bundle.train), cfg.batch_size)
+            lrs = epoch_batch_lrs(cfg, epoch, plans[0].num_batches, 1)
+            state, statsS = vm_train(
+                single, state, bundle.train, train_labels, text_class, plans,
+                lrs, full_mask,
+            )
+            group_prompt = not cfg.use_cls_prompt_in_reg
+            rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
+            rlrs = epoch_batch_lrs(cfg, epoch, rplans[0].num_batches, 1)
+            state, _ = vm_train(
+                single, state, reg_split,
+                reg_labels_group if group_prompt else reg_labels_target,
+                text_group if group_prompt else text_class, rplans, rlrs,
+                full_mask,
+            )
+            train_res = stats_to_results(statsS, weighted=False)
+        elif cfg.is_two_phase and epoch > feat_epochs:
+            if epoch == feat_epochs + 1:
+                if cfg.continue_from_best and all(
+                    p is not None for p in best["params"]
+                ):
+                    # all phase-1 bests share the single-adapter structure
+                    state = init_train_state(
+                        _tree_stack(
+                            [jax.tree.map(jnp.asarray, best["params"][i]) for i in range(S)]
+                        ),
+                        _tree_stack(
+                            [jax.tree.map(jnp.asarray, best["stats"][i]) for i in range(S)]
+                        ),
+                    )
+                if cfg.add_adapter:
+                    ma_inits = []
+                    for i in range(S):
+                        keys[i], k_new = jax.random.split(keys[i])
+                        ma_inits.append(_init_variables(multiple, cfg, k_new, cfg.n_cls))
+                    ma_params = dict(_tree_stack([p for p, _ in ma_inits]))
+                    ma_stats = dict(_tree_stack([s for _, s in ma_inits]))
+                    old_p = _host_tree(state.params)["adapter"]
+                    old_s = _host_tree(state.batch_stats)["adapter"]
+                    ma_params["old"] = jax.tree.map(jnp.asarray, old_p)
+                    ma_stats["old"] = jax.tree.map(jnp.asarray, old_s)
+                    if cfg.init_near_identity:
+                        ma_params["new"] = jax.tree.map(jnp.asarray, old_p)
+                        ma_stats["new"] = jax.tree.map(jnp.asarray, old_s)
+                    ma_state = init_train_state(ma_params, ma_stats)
+                    ma_mask = freeze_subtrees(ma_inits[0][0], ("old",))
+                else:
+                    state = init_train_state(state.params, state.batch_stats)
+
+            if cfg.tl_method == "adapter_reg_seq_alter":
+                use_group = (epoch % 2) == 0
+            else:
+                use_group = not cfg.use_cls_prompt_in_reg
+            labels2 = reg_labels_group if use_group else reg_labels_target
+            text2 = text_group if use_group else text_class
+            rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
+            rlrs = epoch_batch_lrs(cfg, epoch, rplans[0].num_batches, 2)
+            if cfg.add_adapter:
+                ma_state, statsS = vm_train(
+                    multiple, ma_state, reg_split, labels2, text2, rplans,
+                    rlrs, ma_mask,
+                )
+            else:
+                state, statsS = vm_train(
+                    single, state, reg_split, labels2, text2, rplans, rlrs,
+                    full_mask,
+                )
+            train_res = stats_to_results(statsS, weighted=False)
+        else:
+            orders = None
+            if sample_weights is not None:
+                orders = [
+                    weighted_sample_indices(sample_weights, len(bundle.train), rngs[i])
+                    for i in range(S)
+                ]
+            plans = make_plans(len(bundle.train), cfg.batch_size, orders=orders)
+            lrs = epoch_batch_lrs(cfg, epoch, plans[0].num_batches, 1)
+            state, statsS = vm_train(
+                single, state, bundle.train, train_labels, text_class, plans,
+                lrs, full_mask,
+            )
+            train_res = stats_to_results(statsS, weighted=False)
+
+        in_ma = cfg.add_adapter and cfg.is_two_phase and epoch > feat_epochs
+        module = multiple if in_ma else single
+        cur = ma_state if in_ma else state
+        val_res = stats_to_results(
+            vm_eval(module, cur.params, cur.batch_stats, val_split, val_labels, text_class),
+            weighted=True,
+        )
+        test_res = stats_to_results(
+            vm_eval(module, cur.params, cur.batch_stats, bundle.test,
+                    test_labels_cls, text_class),
+            weighted=True,
+        )
+        for i in range(S):
+            history["train"][i].append(ordered(train_res[i]))
+            history["val"][i].append(ordered(val_res[i]))
+            history["test"][i].append(ordered(test_res[i]))
+        if verbose:
+            print(f"epoch {epoch}: val worst", [round(v["worst_acc"], 4) for v in val_res])
+
+        worst = np.asarray([v["worst_acc"] for v in val_res])
+        improved = worst > best["acc"]
+        if improved.any():
+            cur_params = _host_tree(cur.params)
+            cur_stats = _host_tree(cur.batch_stats)
+            for i in np.where(improved)[0]:
+                best["params"][i] = jax.tree.map(lambda a: np.copy(a[i]), cur_params)
+                best["stats"][i] = jax.tree.map(lambda a: np.copy(a[i]), cur_stats)
+            best["acc"] = np.where(improved, worst, best["acc"])
+            best["epoch"] = np.where(improved, epoch, best["epoch"])
+            best["multiple"] = np.where(improved, in_ma, best["multiple"])
+
+    # -------- final ZS probes with per-seed best models
+    # Seeds that never improved keep their final state as "best" (mirrors the
+    # sequential loop's degenerate-run fallback).
+    final_in_ma = cfg.add_adapter and cfg.is_two_phase and cfg.epochs > feat_epochs
+    final_state = ma_state if final_in_ma else state
+    final_params = _host_tree(final_state.params)
+    final_stats = _host_tree(final_state.batch_stats)
+    for i in range(S):
+        if best["params"][i] is None:
+            best["params"][i] = jax.tree.map(lambda a: a[i], final_params)
+            best["stats"][i] = jax.tree.map(lambda a: a[i], final_stats)
+            best["multiple"][i] = final_in_ma
+            best["epoch"][i] = cfg.epochs
+
+    def zs(target):
+        text = bundle.text_class if target == "class" else bundle.text_spurious
+        labels = bundle.test.labels(target)
+        if cfg.tl_method == "linear_probing":
+            from debiasing_multi_modal_tpu.models.adapter import zero_shot_logits
+
+            logits = np.asarray(
+                zero_shot_logits(bundle.test.emb, jnp.asarray(text), cfg.zs_temperature)
+            )
+            correct = logits.argmax(1) == labels
+            corr = np.bincount(bundle.test.group, weights=correct, minlength=bundle.n_groups)
+            cnt = np.bincount(bundle.test.group, minlength=bundle.n_groups)
+            one = results_from_counts(corr, cnt, bundle.n_places, bundle.train_group_ratio)
+            return [one] * S
+        # vmap per module kind (single vs MultipleAdapter best snapshots)
+        out: List[Optional[Dict[str, float]]] = [None] * S
+        for kind in (False, True):
+            rows = [i for i in range(S) if bool(best["multiple"][i]) == kind]
+            if not rows:
+                continue
+            module = multiple if kind else single
+            p = _tree_stack(
+                [jax.tree.map(jnp.asarray, best["params"][i]) for i in rows]
+            )
+            s = _tree_stack(
+                [jax.tree.map(jnp.asarray, best["stats"][i]) for i in rows]
+            )
+            statsS = vm_eval(module, p, s, bundle.test, labels, text)
+            res = [
+                results_from_counts(
+                    np.asarray(statsS.corrects[j]),
+                    np.asarray(statsS.counts[j]),
+                    n_places=bundle.n_places,
+                    train_group_ratio=bundle.train_group_ratio,
+                )
+                for j in range(len(rows))
+            ]
+            for j, i in enumerate(rows):
+                out[i] = res[j]
+        return out
+
+    zs_class = zs("class")
+    zs_spurious = zs("spurious")
+    results = []
+
+    for i in range(S):
+        be = int(best["epoch"][i]) if best["epoch"][i] > 0 else cfg.epochs
+        results.append(
+            (
+                (
+                    history["train"][i][be - 1],
+                    history["val"][i][be - 1],
+                    history["test"][i][be - 1],
+                ),
+                (ordered(zs_class[i]), ordered(zs_spurious[i])),
+            )
+        )
+    return results

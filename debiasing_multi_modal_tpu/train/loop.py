@@ -295,22 +295,14 @@ def train_all_epochs(
     for epoch in range(1, cfg.epochs + 1):
         log(f"--- Epoch {epoch} ---")
 
-        # per-epoch balanced reg subset
+        # per-epoch balanced reg subset (expressed as an index order into the
+        # full reg split — no data movement, vmap/sweep friendly)
         if cfg.balance_val and cfg.is_reg_method:
-            bal_idx = balanced_subset_indices(reg_split.group, rng, bundle.n_groups)
-            reg_epoch_split = reg_split.take(bal_idx)
-            reg_epoch_labels_t = reg_labels_target[bal_idx]
-            reg_epoch_labels_g = reg_labels_group[bal_idx]
-            reg_bs = min(cfg.batch_size_reg, len(bal_idx))
-            reg_order = np.arange(len(bal_idx))  # already shuffled+interleaved
+            reg_order = balanced_subset_indices(reg_split.group, rng, bundle.n_groups)
+            reg_bs = min(cfg.batch_size_reg, len(reg_order))
         elif reg_split is not None:
-            reg_epoch_split = reg_split
-            reg_epoch_labels_t = reg_labels_target
-            reg_epoch_labels_g = reg_labels_group
+            reg_order = None  # shuffle the whole reg split
             reg_bs = cfg.batch_size_reg
-            reg_order = None  # shuffle
-        else:
-            reg_epoch_split = None
 
         # ---------------- train one epoch
         if cfg.tl_method == "adapter_reg":
@@ -321,8 +313,8 @@ def train_all_epochs(
             )
             group_prompt = not cfg.use_cls_prompt_in_reg
             state, _ = run_train(
-                state, single, reg_epoch_split,
-                reg_epoch_labels_g if group_prompt else reg_epoch_labels_t,
+                state, single, reg_split,
+                reg_labels_group if group_prompt else reg_labels_target,
                 text_group if group_prompt else text_class,
                 reg_bs, 1, epoch, reg_order, full_mask,
             )
@@ -363,16 +355,16 @@ def train_all_epochs(
             else:
                 use_group = not cfg.use_cls_prompt_in_reg
 
-            labels2 = reg_epoch_labels_g if use_group else reg_epoch_labels_t
+            labels2 = reg_labels_group if use_group else reg_labels_target
             text2 = text_group if use_group else text_class
             if cfg.add_adapter:
                 ma_state, stats = run_train(
-                    ma_state, multiple, reg_epoch_split, labels2, text2,
+                    ma_state, multiple, reg_split, labels2, text2,
                     reg_bs, 2, epoch, reg_order, ma_mask,
                 )
             else:
                 state, stats = run_train(
-                    state, single, reg_epoch_split, labels2, text2,
+                    state, single, reg_split, labels2, text2,
                     reg_bs, 2, epoch, reg_order, full_mask,
                 )
             train_res = _stats_to_results(stats, bundle, weighted=False)

@@ -1,0 +1,97 @@
+"""Sweep tests: vmapped simultaneous-seed training equals the sequential
+per-seed loop (SURVEY.md §7 distributed test), and the grid driver writes
+the reference's CSV schema."""
+
+import os
+
+import numpy as np
+import pytest
+
+from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+from debiasing_multi_modal_tpu.sweep.runner import aggregate_csv, cell_filename, run_seeds, run_sweep
+from debiasing_multi_modal_tpu.train.config import TrainConfig
+from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table
+
+BASE = dict(
+    dataset="waterbirds",
+    input_dim=64,
+    adapter_feat_dim=16,
+    batch_size=128,
+    batch_size_reg=32,
+    learning_rate=0.5,
+    learning_rate_reg=0.5,
+    lr_decay_epochs=(100,),
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=256, n_val=128, n_test=128)
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    return bundle_from_embedding_table(table, mbs, tc, ts, tg)
+
+
+@pytest.mark.parametrize(
+    "method,extra",
+    [
+        ("adapter", {}),
+        (
+            "adapter_reg_seq_alter",
+            dict(epochs_feature_learning=2, balance_val=True, add_adapter=True,
+                 init_near_identity=True),
+        ),
+    ],
+    ids=["adapter", "seq_alter_ma"],
+)
+def test_vmapped_seeds_match_sequential(bundle, method, extra):
+    cfg = TrainConfig(tl_method=method, epochs=5, **extra, **BASE)
+    seeds = [42, 32]
+    seq = run_seeds(cfg, bundle, seeds, use_vmap=False)
+    vm = run_seeds(cfg, bundle, seeds, use_vmap=True)
+    for (s_res, s_zs), (v_res, v_zs) in zip(seq, vm):
+        for s_d, v_d in zip(s_res, v_res):
+            for k in s_d:
+                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
+        for s_d, v_d in zip(s_zs, v_zs):
+            for k in s_d:
+                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
+
+
+def test_sweep_csv_schema(tmp_path, bundle):
+    cfg = TrainConfig(tl_method="adapter", epochs=2, **BASE)
+    out = run_sweep(
+        cfg,
+        bundle,
+        seeds=[42, 32],
+        result_root=str(tmp_path),
+        use_vmap=True,
+    )
+    (path,) = out.keys()
+    assert os.path.basename(path) == cell_filename(cfg)
+    lines = open(path).read().strip().split("\n")
+    index = [ln.split(",")[0] for ln in lines[1:]]
+    # per-seed rows + mean/std rows for each of the five blocks
+    assert index.count("1") == 5 and index.count("2") == 5
+    for label in ("test", "zs_spu", "tr", "val", "zs_tg"):
+        assert f"{label}_mean" in index and f"{label}_std" in index
+    assert "worst_acc" in lines[0]
+
+
+def test_cell_filename_encodes_config():
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter",
+        epochs=4,
+        epochs_feature_learning=2,
+        balance_val=True,
+        add_adapter=True,
+        **BASE,
+    )
+    name = cell_filename(cfg)
+    assert name.startswith("ds_waterbirds_tl_adapter_reg_seq_alter_bs_128_lr_0.5")
+    assert "_balval" in name and name.endswith("_MA+rn.csv")
+    assert "_GP" not in name  # alter method omits the prompt tag
