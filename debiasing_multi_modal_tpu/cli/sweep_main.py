@@ -1,0 +1,65 @@
+"""Sweep CLI: multi-seed (and hyperparameter-grid) training with mean±std CSVs.
+
+Parity surface: reference ``run_multiple/final_main_iteration_wb.py``
+(``--num_iter``, ``--random_seeds``) and ``..._iteration_ca.py``
+(``--lr_list/--bs_list/--bsr_list``, ``--lr_multiple``), writing per-cell
+CSVs under ``results_iterative/``.  Seeds run as ONE vmapped program by
+default (``--no_vmap`` falls back to the sequential loop)."""
+
+from __future__ import annotations
+
+import sys
+
+from debiasing_multi_modal_tpu.cli.train_main import build_parser, config_from_args
+
+
+def extend_parser(p):
+    p.add_argument("--num_iter", type=int, default=3)
+    p.add_argument("--random_seeds", type=str, default="42,32,22")
+    p.add_argument("--lr_list", type=str, default="")
+    p.add_argument("--bs_list", type=str, default="")
+    p.add_argument("--bsr_list", type=str, default="")
+    p.add_argument("--lr_multiple", type=float, default=None)
+    p.add_argument("--result_root", type=str, default="results_iterative")
+    p.add_argument("--no_vmap", action="store_true")
+    return p
+
+
+def main(args):
+    from debiasing_multi_modal_tpu.sweep.runner import run_sweep
+    from debiasing_multi_modal_tpu.train.loop import bundle_from_files
+
+    cfg = config_from_args(args)
+    seeds = [int(s) for s in args.random_seeds.split(",")][: args.num_iter]
+    bundle = bundle_from_files(
+        cfg.dataset,
+        args.data_dir,
+        args.image_embedding_dir,
+        args.text_embedding_dir,
+        args.text_spurious_embedding_dir,
+        args.text_group_embedding_dir,
+    )
+    cfg = cfg.replace(input_dim=int(bundle.text_class.shape[0]))
+
+    def parse_list(s, typ):
+        return [typ(v) for v in s.split(",")] if s else (None,)
+
+    out = run_sweep(
+        cfg,
+        bundle,
+        seeds,
+        lr_list=parse_list(args.lr_list, float),
+        bs_list=parse_list(args.bs_list, int),
+        bsr_list=parse_list(args.bsr_list, int),
+        lr_multiple=args.lr_multiple,
+        result_root=args.result_root,
+        use_vmap=not args.no_vmap,
+        verbose=True,
+    )
+    for path in out:
+        print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(extend_parser(build_parser()).parse_args()))

@@ -140,6 +140,37 @@ def bundle_from_embedding_table(table, meta_by_split: Dict[str, GroupTable],
     )
 
 
+def bundle_from_files(
+    dataset: str,
+    data_dir: str,
+    image_embedding_path: str,
+    text_embedding_path: str,
+    text_spurious_embedding_path: str,
+    text_group_embedding_path: str,
+) -> DataBundle:
+    """Build the training bundle from on-disk caches (the reference's file-
+    mediated Stage A -> Stage B boundary: final_main.py:816-854 loaders +
+    get_text_embedding :414-424)."""
+    from debiasing_multi_modal_tpu.data.embeddings_store import (
+        load_embeddings,
+        load_text_embeddings,
+    )
+    from debiasing_multi_modal_tpu.data.groups import load_metadata
+
+    table = load_embeddings(image_embedding_path, dataset=dataset)
+    meta_by_split = {
+        split: load_metadata(dataset, data_dir, split)
+        for split in ("train", "val", "test")
+    }
+    # load_text_embeddings returns [D, C] — the bundle's text-matrix layout
+    text_class = load_text_embeddings(text_embedding_path)
+    text_spurious = load_text_embeddings(text_spurious_embedding_path)
+    text_group = load_text_embeddings(text_group_embedding_path)
+    return bundle_from_embedding_table(
+        table, meta_by_split, text_class, text_spurious, text_group
+    )
+
+
 # ----------------------------------------------------------------- helpers --
 
 

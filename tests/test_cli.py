@@ -1,0 +1,136 @@
+"""CLI integration tests: a miniature on-disk dataset flows through the
+extraction CLI and the training CLI end-to-end (the reference's
+save_embedding.sh -> run_final_main.sh pipeline, at toy scale)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from debiasing_multi_modal_tpu.data.embeddings_store import (
+    save_embeddings,
+    save_text_embeddings,
+)
+from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+
+
+def _write_waterbirds_tree(tmp_path, n_per_split=12, res=64):
+    """Images + metadata.csv in the waterbirds on-disk layout."""
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path / "waterbirds" / "waterbird_complete95_forest2water2"
+    (root / "imgs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = ["img_id,img_filename,y,split,place"]
+    k = 0
+    for split in range(3):
+        for i in range(n_per_split):
+            fn = f"imgs/{k:05d}.jpg"
+            arr = (rng.random((res + 8, res + 16, 3)) * 255).astype(np.uint8)
+            PIL.fromarray(arr).save(root / fn)
+            y, place = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+            rows.append(f"{k},{fn},{y},{split},{place}")
+            k += 1
+    (root / "metadata.csv").write_text("\n".join(rows) + "\n")
+    return root
+
+
+def test_extract_cli_end_to_end(tmp_path, monkeypatch):
+    from debiasing_multi_modal_tpu.cli import extract_main
+
+    _write_waterbirds_tree(tmp_path)
+    args = extract_main.build_parser().parse_args(
+        [
+            "--data_dir", str(tmp_path),
+            "--dataset", "waterbirds",
+            "--split", "all",
+            "--backbone", "RN50",
+            "--embedding_dir", "embeddings_unnormalized",
+            "--save",
+            "--batch_size", "8",
+            "--host_resolution", "64",
+        ]
+    )
+    # shrink the model: monkeypatch the registry call to a tiny RN config
+    from debiasing_multi_modal_tpu.models.config import CLIPConfig
+
+    tiny = CLIPConfig(
+        name="RN50", embed_dim=32, image_resolution=64,
+        vision_layers=(1, 1, 1, 1), vision_width=8, vision_patch_size=None,
+        transformer_width=64, transformer_heads=1, transformer_layers=1,
+    )
+    import debiasing_multi_modal_tpu.models as models_pkg
+
+    real_create = models_pkg.create_clip
+
+    def fake_create(name_or_config, dtype=None, **kw):
+        return real_create(tiny)
+
+    monkeypatch.setitem(
+        sys.modules["debiasing_multi_modal_tpu.models"].__dict__, "create_clip", fake_create
+    )
+    extract_main.main(args)
+
+    emb_root = tmp_path / "embeddings_unnormalized" / "waterbirds"
+    for kind in ("class", "spurious", "group"):
+        assert (emb_root / f"clip_{kind}.json").is_file()
+    out = emb_root / "RN50"
+    assert (out / "clip.json").is_file() and (out / "clip.npz").is_file()
+    raw = json.loads((out / "clip.json").read_text())
+    assert len(raw) == 36
+    rec = next(iter(raw.values()))
+    assert len(rec["image_embedding"]) == 32
+
+
+def test_train_cli_end_to_end(tmp_path, capsys):
+    from debiasing_multi_modal_tpu.cli import train_main
+    from debiasing_multi_modal_tpu.templates import WATERBIRDS
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=64, n_val=32, n_test=32, dim=32)
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rows = ["img_id,img_filename,y,split,place"]
+    for i in range(len(meta)):
+        rows.append(
+            f"{i},{meta.filenames[i]},{meta.y[i]},{meta.split[i]},{meta.place[i]}"
+        )
+    (data_dir / "metadata.csv").write_text("\n".join(rows) + "\n")
+
+    save_embeddings(str(tmp_path / "clip.npz"), table)
+    save_text_embeddings(str(tmp_path / "clip_class.json"), WATERBIRDS.prompts("class"), tc.T)
+    save_text_embeddings(
+        str(tmp_path / "clip_spurious.json"), WATERBIRDS.prompts("spurious"), ts.T
+    )
+    save_text_embeddings(str(tmp_path / "clip_group.json"), WATERBIRDS.prompts("group"), tg.T)
+
+    args = train_main.build_parser().parse_args(
+        [
+            "--data_dir", str(data_dir),
+            "--dataset", "waterbirds",
+            "--image_embedding_dir", str(tmp_path / "clip.npz"),
+            "--text_embedding_dir", str(tmp_path / "clip_class.json"),
+            "--text_spurious_embedding_dir", str(tmp_path / "clip_spurious.json"),
+            "--text_group_embedding_dir", str(tmp_path / "clip_group.json"),
+            "--tl_method", "adapter_reg_seq_alter",
+            "--epochs", "4",
+            "--epochs_feature_learning", "2",
+            "--batch_size", "32",
+            "--batch_size_reg", "8",
+            "--learning_rate", "0.5",
+            "--learning_rate_reg", "0.5",
+            "--adapter_feat_dim", "8",
+            "--add_adapter",
+            "--save_results",
+            "--results_dir", str(tmp_path / "results"),
+        ]
+    )
+    assert train_main.main(args) == 0
+    out = capsys.readouterr().out
+    assert "best test:" in out
+    saved = list((tmp_path / "results").glob("*.json"))
+    assert len(saved) == 1
+    payload = json.loads(saved[0].read_text())
+    assert "Final Results (best epoch)" in payload
