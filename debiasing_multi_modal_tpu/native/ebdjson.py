@@ -1,0 +1,103 @@
+"""ctypes binding for the native embedding-cache JSON parser (native/ebdjson.cpp).
+
+Builds the shared library on first use (g++, see native/Makefile); falls back
+cleanly if no toolchain is available — callers (data/embeddings_store) catch
+any exception and use the pure-Python loader.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libebdjson.so")
+_JSON_KEYS = {"waterbirds": ("y", "place"), "celeba": ("blond", "male")}
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build():
+    src = os.path.join(_NATIVE_DIR, "ebdjson.cpp")
+    if not os.path.isfile(src):
+        raise FileNotFoundError(src)
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", src, "-o", _LIB_PATH],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+            os.path.join(_NATIVE_DIR, "ebdjson.cpp")
+        ):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ebd_parse.restype = ctypes.c_void_p
+        lib.ebd_parse.argtypes = [ctypes.c_char_p] * 3
+        lib.ebd_error.restype = ctypes.c_char_p
+        lib.ebd_error.argtypes = [ctypes.c_void_p]
+        for name in ("ebd_n", "ebd_dim"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.ebd_embeddings.restype = ctypes.POINTER(ctypes.c_float)
+        lib.ebd_embeddings.argtypes = [ctypes.c_void_p]
+        for name in ("ebd_y", "ebd_place", "ebd_group", "ebd_split", "ebd_y_pred"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.POINTER(ctypes.c_int32)
+            fn.argtypes = [ctypes.c_void_p]
+        lib.ebd_filename.restype = ctypes.c_char_p
+        lib.ebd_filename.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.ebd_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def load_embeddings_json(path: str, dataset: str):
+    """Parse a clip.json cache into an EmbeddingTable via the C++ parser."""
+    from debiasing_multi_modal_tpu.data.embeddings_store import EmbeddingTable
+
+    ykey, pkey = _JSON_KEYS[dataset]
+    lib = _load_lib()
+    handle = lib.ebd_parse(
+        path.encode(), ykey.encode(), pkey.encode()
+    )
+    try:
+        err = lib.ebd_error(handle)
+        if err:
+            raise ValueError(f"ebdjson: {err.decode()}")
+        n = lib.ebd_n(handle)
+        d = lib.ebd_dim(handle)
+        emb = np.ctypeslib.as_array(lib.ebd_embeddings(handle), shape=(n, d)).copy()
+
+        def col(fn):
+            return np.ctypeslib.as_array(fn(handle), shape=(n,)).copy()
+
+        filenames = np.asarray(
+            [lib.ebd_filename(handle, i).decode() for i in range(n)]
+        )
+        return EmbeddingTable(
+            filenames=filenames,
+            y=col(lib.ebd_y),
+            place=col(lib.ebd_place),
+            group=col(lib.ebd_group),
+            split=col(lib.ebd_split),
+            y_pred=col(lib.ebd_y_pred),
+            embeddings=emb,
+        )
+    finally:
+        lib.ebd_free(handle)

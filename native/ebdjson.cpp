@@ -1,0 +1,295 @@
+// Fast single-pass parser for the CLIP embedding cache JSON
+// (the reference pipeline's clip.json: {filename: {y/blond, place/male,
+// group, split, image_embedding: [floats], y_pred}, ...}).
+//
+// The reference loads this with pandas.read_json (waterbirds_embeddings.py:30),
+// which materializes ~200k Python dicts for CelebA; this parser streams the
+// byte buffer once into contiguous arrays (one [N, D] float32 block), exposed
+// over a C ABI consumed via ctypes (debiasing_multi_modal_tpu/native/ebdjson.py).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC ebdjson.cpp -o libebdjson.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <charconv>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Table {
+  std::vector<std::string> filenames;
+  std::vector<int32_t> y, place, group, split, y_pred;
+  std::vector<float> embeddings;
+  int64_t dim = -1;
+  std::string error;
+};
+
+struct Cursor {
+  const char* p;
+  const char* end;
+
+  void skip_ws() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) ++p;
+  }
+  bool expect(char c) {
+    skip_ws();
+    if (p < end && *p == c) {
+      ++p;
+      return true;
+    }
+    return false;
+  }
+  char peek() {
+    skip_ws();
+    return p < end ? *p : '\0';
+  }
+};
+
+// Parse a JSON string (no full escape handling beyond \" \\ \/ — the schema's
+// keys are filenames and fixed field names).
+bool parse_string(Cursor& c, std::string& out) {
+  if (!c.expect('"')) return false;
+  out.clear();
+  while (c.p < c.end) {
+    char ch = *c.p++;
+    if (ch == '"') return true;
+    if (ch == '\\' && c.p < c.end) {
+      char esc = *c.p++;
+      switch (esc) {
+        case 'n': out.push_back('\n'); break;
+        case 't': out.push_back('\t'); break;
+        default: out.push_back(esc); break;
+      }
+    } else {
+      out.push_back(ch);
+    }
+  }
+  return false;
+}
+
+bool parse_double(Cursor& c, double& out) {
+  c.skip_ws();
+  auto [ptr, ec] = std::from_chars(c.p, c.end, out);
+  if (ec != std::errc()) return false;
+  c.p = ptr;
+  return true;
+}
+
+// Labels are stored stringified ("0") by the reference writer; accept bare
+// numbers too.
+bool parse_label(Cursor& c, int32_t& out) {
+  if (c.peek() == '"') {
+    std::string s;
+    if (!parse_string(c, s)) return false;
+    out = static_cast<int32_t>(strtol(s.c_str(), nullptr, 10));
+    return true;
+  }
+  double d;
+  if (!parse_double(c, d)) return false;
+  out = static_cast<int32_t>(d);
+  return true;
+}
+
+bool parse_float_array(Cursor& c, std::vector<float>& out) {
+  if (!c.expect('[')) return false;
+  if (c.peek() == ']') {
+    ++c.p;
+    return true;
+  }
+  while (true) {
+    double d;
+    if (!parse_double(c, d)) return false;
+    out.push_back(static_cast<float>(d));
+    char ch = c.peek();
+    if (ch == ',') {
+      ++c.p;
+      continue;
+    }
+    if (ch == ']') {
+      ++c.p;
+      return true;
+    }
+    return false;
+  }
+}
+
+bool skip_value(Cursor& c);
+
+bool skip_container(Cursor& c, char open, char close) {
+  if (!c.expect(open)) return false;
+  if (c.peek() == close) {
+    ++c.p;
+    return true;
+  }
+  while (true) {
+    if (open == '{') {
+      std::string k;
+      if (!parse_string(c, k) || !c.expect(':')) return false;
+    }
+    if (!skip_value(c)) return false;
+    char ch = c.peek();
+    if (ch == ',') {
+      ++c.p;
+      continue;
+    }
+    if (ch == close) {
+      ++c.p;
+      return true;
+    }
+    return false;
+  }
+}
+
+bool skip_value(Cursor& c) {
+  char ch = c.peek();
+  if (ch == '"') {
+    std::string s;
+    return parse_string(c, s);
+  }
+  if (ch == '{') return skip_container(c, '{', '}');
+  if (ch == '[') return skip_container(c, '[', ']');
+  if (strncmp(c.p, "true", 4) == 0) { c.p += 4; return true; }
+  if (strncmp(c.p, "false", 5) == 0) { c.p += 5; return true; }
+  if (strncmp(c.p, "null", 4) == 0) { c.p += 4; return true; }
+  double d;
+  return parse_double(c, d);
+}
+
+Table* parse_impl(const char* data, size_t len, const char* ykey_c,
+                  const char* pkey_c) {
+  auto* t = new Table();
+  const std::string ykey = ykey_c, pkey = pkey_c;
+  Cursor c{data, data + len};
+  if (!c.expect('{')) {
+    t->error = "expected top-level object";
+    return t;
+  }
+  if (c.peek() == '}') return t;  // empty
+
+  std::string key, field;
+  while (true) {
+    if (!parse_string(c, key) || !c.expect(':') || !c.expect('{')) {
+      t->error = "malformed record near byte " +
+                 std::to_string(c.p - data);
+      return t;
+    }
+    t->filenames.push_back(key);
+    int32_t y = -1, place = -1, group = -1, split = -1, y_pred = -1;
+    size_t emb_start = t->embeddings.size();
+    if (c.peek() != '}') {
+      while (true) {
+        if (!parse_string(c, field) || !c.expect(':')) {
+          t->error = "malformed field near byte " + std::to_string(c.p - data);
+          return t;
+        }
+        bool ok;
+        if (field == "image_embedding") {
+          ok = parse_float_array(c, t->embeddings);
+        } else if (field == ykey) {
+          ok = parse_label(c, y);
+        } else if (field == pkey) {
+          ok = parse_label(c, place);
+        } else if (field == "group") {
+          ok = parse_label(c, group);
+        } else if (field == "split") {
+          ok = parse_label(c, split);
+        } else if (field == "y_pred") {
+          ok = parse_label(c, y_pred);
+        } else {
+          ok = skip_value(c);
+        }
+        if (!ok) {
+          t->error = "bad value for field '" + field + "' near byte " +
+                     std::to_string(c.p - data);
+          return t;
+        }
+        char ch = c.peek();
+        if (ch == ',') {
+          ++c.p;
+          continue;
+        }
+        if (ch == '}') {
+          ++c.p;
+          break;
+        }
+        t->error = "unexpected character in record";
+        return t;
+      }
+    } else {
+      ++c.p;
+    }
+    int64_t d = static_cast<int64_t>(t->embeddings.size() - emb_start);
+    if (t->dim < 0) t->dim = d;
+    if (d != t->dim) {
+      t->error = "inconsistent embedding dim for '" + key + "'";
+      return t;
+    }
+    t->y.push_back(y);
+    t->place.push_back(place);
+    t->group.push_back(group);
+    t->split.push_back(split);
+    t->y_pred.push_back(y_pred);
+
+    char ch = c.peek();
+    if (ch == ',') {
+      ++c.p;
+      continue;
+    }
+    if (ch == '}') break;
+    t->error = "unexpected character between records";
+    return t;
+  }
+  return t;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ebd_parse(const char* path, const char* ykey, const char* pkey) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    auto* t = new Table();
+    t->error = std::string("cannot open ") + path;
+    return t;
+  }
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(len));
+  size_t rd = fread(buf.data(), 1, buf.size(), f);
+  fclose(f);
+  if (rd != buf.size()) {
+    auto* t = new Table();
+    t->error = std::string("short read on ") + path;
+    return t;
+  }
+  return parse_impl(buf.data(), buf.size(), ykey, pkey);
+}
+
+const char* ebd_error(void* h) {
+  auto* t = static_cast<Table*>(h);
+  return t->error.empty() ? nullptr : t->error.c_str();
+}
+int64_t ebd_n(void* h) { return static_cast<Table*>(h)->filenames.size(); }
+int64_t ebd_dim(void* h) {
+  auto* t = static_cast<Table*>(h);
+  return t->dim < 0 ? 0 : t->dim;
+}
+const float* ebd_embeddings(void* h) {
+  return static_cast<Table*>(h)->embeddings.data();
+}
+const int32_t* ebd_y(void* h) { return static_cast<Table*>(h)->y.data(); }
+const int32_t* ebd_place(void* h) { return static_cast<Table*>(h)->place.data(); }
+const int32_t* ebd_group(void* h) { return static_cast<Table*>(h)->group.data(); }
+const int32_t* ebd_split(void* h) { return static_cast<Table*>(h)->split.data(); }
+const int32_t* ebd_y_pred(void* h) { return static_cast<Table*>(h)->y_pred.data(); }
+const char* ebd_filename(void* h, int64_t i) {
+  return static_cast<Table*>(h)->filenames[static_cast<size_t>(i)].c_str();
+}
+void ebd_free(void* h) { delete static_cast<Table*>(h); }
+
+}  // extern "C"

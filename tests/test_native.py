@@ -1,0 +1,82 @@
+"""Native C++ JSON parser tests: correctness vs the Python loader on the
+reference clip.json schema, error surfacing, and a throughput sanity check."""
+
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+from debiasing_multi_modal_tpu.data.embeddings_store import (
+    _load_json_python,
+    save_embeddings,
+)
+from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def json_path(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("native")
+    _, table, *_ = make_synthetic_dataset(SyntheticSpec(n_train=256, n_val=64, n_test=64))
+    path = str(tmp / "clip.json")
+    save_embeddings(path, table, fmt="json", dataset="waterbirds")
+    return path, table
+
+
+def test_native_parser_matches_python(json_path):
+    from debiasing_multi_modal_tpu.native import ebdjson
+
+    path, table = json_path
+    native = ebdjson.load_embeddings_json(path, "waterbirds")
+    python = _load_json_python(path, "waterbirds")
+
+    np.testing.assert_array_equal(native.filenames, python.filenames)
+    for col in ("y", "place", "group", "split", "y_pred"):
+        np.testing.assert_array_equal(getattr(native, col), getattr(python, col))
+    # JSON float round-trip tolerance
+    np.testing.assert_allclose(native.embeddings, python.embeddings, rtol=1e-6, atol=1e-7)
+
+
+def test_native_parser_is_dispatched_by_store(json_path, monkeypatch):
+    """load_embeddings must prefer the native parser when it's importable."""
+    import debiasing_multi_modal_tpu.data.embeddings_store as store
+    from debiasing_multi_modal_tpu.native import ebdjson
+
+    path, table = json_path
+    called = {}
+
+    def spy(p, d):
+        called["native"] = True
+        return ebdjson.load_embeddings_json(p, d)
+
+    monkeypatch.setattr(ebdjson, "load_embeddings_json", spy)
+    loaded = store.load_embeddings(path, dataset="waterbirds")
+    assert called.get("native")
+    assert len(loaded) == len(table)
+
+
+def test_native_parser_error_on_garbage(tmp_path):
+    from debiasing_multi_modal_tpu.native import ebdjson
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"a.jpg": {"y": "0", "image_embedding": [1.0, oops]}}')
+    with pytest.raises(ValueError, match="ebdjson"):
+        ebdjson.load_embeddings_json(str(bad), "waterbirds")
+
+
+def test_native_parser_faster_than_python(json_path):
+    from debiasing_multi_modal_tpu.native import ebdjson
+
+    path, _ = json_path
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ebdjson.load_embeddings_json(path, "waterbirds")
+    native_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _load_json_python(path, "waterbirds")
+    python_dt = time.perf_counter() - t0
+    # same order or faster; on CelebA-scale caches the gap is large
+    assert native_dt < python_dt * 2.0, (native_dt, python_dt)
