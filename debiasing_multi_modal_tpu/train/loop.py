@@ -242,6 +242,9 @@ def train_all_epochs(
     bundle: DataBundle,
     verbose: bool = True,
     results_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    checkpoint_every: int = 10,
 ):
     """Run the full schedule; returns ``((best_train, best_val, best_test),
     (zs_class, zs_spurious), history)`` — the reference's return tuple
@@ -296,6 +299,37 @@ def train_all_epochs(
     history = {"train": [], "val": [], "test": []}
 
     feat_epochs = cfg.epochs_feature_learning or cfg.epochs
+    start_epoch = 1
+
+    # ----- resume from the latest checkpoint (aux subsystem §5.4)
+    if resume and checkpoint_dir:
+        from debiasing_multi_modal_tpu.train import checkpoint as ckpt
+
+        step_dir = ckpt.latest_checkpoint(checkpoint_dir)
+        if step_dir:
+            saved_epoch, tree, meta = ckpt.load_checkpoint(step_dir)
+            log(f"Resuming from {step_dir} (epoch {saved_epoch})")
+            state = TrainState(
+                jax.tree.map(jnp.asarray, tree["state"]["params"]),
+                jax.tree.map(jnp.asarray, tree["state"]["batch_stats"]),
+                jax.tree.map(jnp.asarray, tree["state"]["trace"]),
+            )
+            if "ma_state" in tree:
+                ma_state = TrainState(
+                    jax.tree.map(jnp.asarray, tree["ma_state"]["params"]),
+                    jax.tree.map(jnp.asarray, tree["ma_state"]["batch_stats"]),
+                    jax.tree.map(jnp.asarray, tree["ma_state"]["trace"]),
+                )
+                ma_mask = freeze_subtrees(ma_state.params, ("old",))
+            if "best_params" in tree:
+                best["params"] = tree["best_params"]
+                best["stats"] = tree["best_stats"]
+            best["acc"] = meta["best_acc"]
+            best["epoch"] = meta["best_epoch"]
+            best["multiple"] = meta["best_multiple"]
+            history = meta["history"]
+            rng = ckpt.restore_rng(meta["rng_state"])
+            start_epoch = saved_epoch + 1
 
     def current_module_and_state(epoch):
         if cfg.add_adapter and cfg.is_two_phase and epoch > feat_epochs:
@@ -323,7 +357,7 @@ def train_all_epochs(
         )
         return new_state, stats
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         log(f"--- Epoch {epoch} ---")
 
         # per-epoch balanced reg subset (expressed as an index order into the
@@ -436,6 +470,40 @@ def train_all_epochs(
                 params=_host_copy(cur.params),
                 stats=_host_copy(cur.batch_stats),
                 multiple=module is multiple,
+            )
+
+        if checkpoint_dir and (
+            epoch % checkpoint_every == 0 or epoch == cfg.epochs
+        ):
+            from debiasing_multi_modal_tpu.train import checkpoint as ckpt
+
+            payload = {
+                "state": {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "trace": state.trace,
+                },
+            }
+            if ma_state is not None:
+                payload["ma_state"] = {
+                    "params": ma_state.params,
+                    "batch_stats": ma_state.batch_stats,
+                    "trace": ma_state.trace,
+                }
+            if best["params"] is not None:
+                payload["best_params"] = best["params"]
+                payload["best_stats"] = best["stats"]
+            ckpt.save_checkpoint(
+                checkpoint_dir,
+                epoch,
+                payload,
+                rng,
+                meta_extra={
+                    "best_acc": float(best["acc"]),
+                    "best_epoch": int(best["epoch"]),
+                    "best_multiple": bool(best["multiple"]),
+                    "history": history,
+                },
             )
 
     if best["params"] is None:  # degenerate run — keep the final model

@@ -1,0 +1,89 @@
+"""Checkpoint/resume tests: an interrupted run resumed from its checkpoint
+reproduces the uninterrupted run exactly (params, history, best selection),
+including across the two-phase/MultipleAdapter boundary."""
+
+import numpy as np
+import pytest
+
+from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+from debiasing_multi_modal_tpu.train.config import TrainConfig
+from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table, train_all_epochs
+
+BASE = dict(
+    dataset="waterbirds",
+    input_dim=32,
+    adapter_feat_dim=8,
+    batch_size=64,
+    batch_size_reg=16,
+    learning_rate=0.5,
+    learning_rate_reg=0.5,
+    lr_decay_epochs=(100,),
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=128, n_val=64, n_test=64, dim=32)
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    return bundle_from_embedding_table(table, mbs, tc, ts, tg)
+
+
+@pytest.mark.parametrize(
+    "method,extra,interrupt",
+    [
+        ("adapter", {}, 3),
+        (
+            "adapter_reg_seq_alter",
+            dict(epochs_feature_learning=3, add_adapter=True, balance_val=True),
+            5,  # resume INSIDE phase 2 (switch at epoch 4)
+        ),
+    ],
+    ids=["adapter", "seq_alter_ma_phase2"],
+)
+def test_resume_reproduces_uninterrupted_run(tmp_path, bundle, method, extra, interrupt):
+    cfg_full = TrainConfig(tl_method=method, epochs=7, **extra, **BASE)
+    full = train_all_epochs(cfg_full, bundle, verbose=False)
+
+    ckdir = str(tmp_path / "ck")
+    # interrupted run: stops at `interrupt` epochs, checkpointing every epoch
+    cfg_part = cfg_full.replace(epochs=interrupt)
+    train_all_epochs(
+        cfg_part, bundle, verbose=False, checkpoint_dir=ckdir, checkpoint_every=1
+    )
+    # resumed run to the full horizon
+    resumed = train_all_epochs(
+        cfg_full, bundle, verbose=False, checkpoint_dir=ckdir, resume=True,
+        checkpoint_every=100,
+    )
+
+    (f_tr, f_va, f_te), (f_zc, f_zs), f_hist = full
+    (r_tr, r_va, r_te), (r_zc, r_zs), r_hist = resumed
+    assert len(r_hist["val"]) == len(f_hist["val"]) == 7
+    for a, b in zip(f_hist["val"], r_hist["val"]):
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
+    for k in f_te:
+        assert abs(f_te[k] - r_te[k]) < 1e-6
+    for k in f_zc:
+        assert abs(f_zc[k] - r_zc[k]) < 1e-6
+
+
+def test_latest_checkpoint_pruning(tmp_path, bundle):
+    from debiasing_multi_modal_tpu.train.checkpoint import latest_checkpoint
+
+    ckdir = str(tmp_path / "ck")
+    cfg = TrainConfig(tl_method="adapter", epochs=5, **BASE)
+    train_all_epochs(
+        cfg, bundle, verbose=False, checkpoint_dir=ckdir, checkpoint_every=1
+    )
+    # keep=2 prunes older steps
+    import os
+
+    steps = sorted(os.listdir(ckdir))
+    assert len(steps) == 2
+    assert latest_checkpoint(ckdir).endswith("ep00005")
