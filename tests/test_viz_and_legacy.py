@@ -1,0 +1,114 @@
+"""Viz/analysis and legacy-workspace tests: group stats, 2-D projection,
+split plots render to disk, plain ResNet-50 forward, linear probe learns."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
+from debiasing_multi_modal_tpu.models.resnet_plain import PlainResNet
+from debiasing_multi_modal_tpu.train.linear_eval import evaluate_linear, linear_probe
+from debiasing_multi_modal_tpu.viz.analysis import (
+    adapted_embeddings,
+    group_stats,
+    nearest_sample,
+    project_2d,
+)
+from debiasing_multi_modal_tpu.viz.plots import plot_splits
+
+
+@pytest.fixture(scope="module")
+def synth():
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=128, n_val=64, n_test=64, dim=16)
+    )
+    return meta, table, tc
+
+
+def test_group_stats(synth):
+    meta, table, _ = synth
+    stats = group_stats(table.embeddings, table.group)
+    assert set(stats) == {0, 1, 2, 3}
+    for g, s in stats.items():
+        assert s["count"] > 0
+        assert s["mean_norm"] > 0 and s["mean_pairwise_dist"] > 0
+    assert sum(s["count"] for s in stats.values()) == len(table)
+
+
+def test_project_2d_methods(synth):
+    _, table, _ = synth
+    emb = table.embeddings[:50]
+    for method in ("pca", "mds"):
+        pts = project_2d(emb, method=method)
+        assert pts.shape == (50, 2)
+    assert project_2d(emb, method="auto").shape == (50, 2)
+    with pytest.raises(ValueError):
+        project_2d(emb, method="nope")
+
+
+def test_adapted_embeddings_and_nearest(synth):
+    _, table, tc = synth
+    module = AdapterMLP(hidden_dim=8)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.asarray(table.embeddings[:2]), train=True
+    )
+    out = adapted_embeddings(
+        module, variables["params"], variables["batch_stats"],
+        table.embeddings, batch_size=64,
+    )
+    assert out.shape == table.embeddings.shape
+    i = nearest_sample(table.embeddings, table.embeddings[7])
+    assert i == 7
+
+
+def test_plot_splits_renders(tmp_path, synth):
+    meta, table, tc = synth
+    splits, labels = {}, {}
+    for name, sid in (("train", 0), ("val", 1)):
+        idx = np.where(table.split == sid)[0]
+        splits[name] = table.embeddings[idx]
+        labels[name] = {
+            "group": table.group[idx],
+            "target": table.y[idx],
+            "spurious": table.place[idx],
+            "prediction": table.y_pred[idx],
+        }
+    out = str(tmp_path / "umap.png")
+    fig = plot_splits(
+        splits, labels, dataset="waterbirds", color_by="group", method="pca",
+        text_embeddings=tc.T, text_names=["landbird", "waterbird"], out_path=out,
+    )
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plain_resnet50_forward():
+    model = PlainResNet(layers=(1, 1, 1, 1), width=8)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert out.shape == (2, 8 * 32)
+    # stem + stride-2 stages -> 64/32 = 2x2 spatial before pooling
+    out_eval = model.apply(variables, x, train=False)
+    assert out_eval.shape == (2, 256)
+
+
+def test_linear_probe_learns(synth):
+    _, table, _ = synth
+    train = table.split == 0
+    params, train_acc = linear_probe(
+        table.embeddings[train], table.y[train], epochs=20, learning_rate=0.5
+    )
+    test = table.split == 2
+    acc = evaluate_linear(params, table.embeddings[test], table.y[test])
+    assert train_acc > 0.8
+    assert acc > 0.5
