@@ -118,9 +118,14 @@ def init_clip(
     batch: int = 1,
     image_resolution: Optional[int] = None,
 ):
-    """Initialize parameter/batch-stats collections with dummy inputs."""
+    """Initialize parameter/batch-stats collections with dummy inputs.
+
+    Initialization is jitted as ONE program: un-jitted flax init dispatches
+    hundreds of tiny ops, which is pathological on remote-TPU links where
+    every program carries ~10s of fixed compile latency.
+    """
     cfg = model.config
     res = image_resolution or cfg.image_resolution
     images = jnp.zeros((batch, res, res, 3), cfg.dtype)
     tokens = jnp.zeros((batch, cfg.context_length), jnp.int32)
-    return model.init(rng, images, tokens)
+    return jax.jit(model.init)(rng, images, tokens)

@@ -34,6 +34,44 @@ def resized_dims(h: int, w: int, target: int) -> Tuple[int, int]:
     return max(target, int(round(h * target / w))), target
 
 
+def _cubic_kernel(t: "np.ndarray") -> "np.ndarray":
+    """Keys cubic (a = -0.5) — the kernel behind bicubic resampling."""
+    import numpy as np
+
+    t = np.abs(t)
+    out = np.where(
+        t <= 1.0,
+        1.5 * t ** 3 - 2.5 * t ** 2 + 1.0,
+        np.where(t < 2.0, -0.5 * t ** 3 + 2.5 * t ** 2 - 4.0 * t + 2.0, 0.0),
+    )
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def resize_matrix(in_size: int, out_size: int, antialias: bool = True):
+    """[out_size, in_size] separable bicubic resampling matrix.
+
+    Resizing along one axis is a linear map; materializing it turns the whole
+    resize into two small matmuls that XLA schedules on the MXU.  The
+    gather-based ``jax.image.resize`` lowering takes *minutes* to compile on
+    TPU for batched NHWC inputs — this formulation compiles in milliseconds
+    and runs faster.  Kernel semantics (half-pixel sampling, antialiased
+    support scaling for downsampling, edge clamping via weight
+    renormalization) match ``jax.image.resize(method='bicubic')``.
+    """
+    import numpy as np
+
+    scale = out_size / in_size
+    kscale = max(1.0, 1.0 / scale) if antialias else 1.0
+    # output pixel centers mapped into input coordinates (half-pixel centers)
+    x = (np.arange(out_size) + 0.5) / scale - 0.5
+    j = np.arange(in_size)
+    t = (x[:, None] - j[None, :]) / kscale
+    weights = _cubic_kernel(t) / kscale
+    weights = weights / weights.sum(axis=1, keepdims=True)
+    return weights.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("resolution", "antialias", "dtype"))
 def preprocess_uint8(
     images: jax.Array,
@@ -43,16 +81,25 @@ def preprocess_uint8(
 ) -> jax.Array:
     """uint8 [N, H, W, 3] -> CLIP-normalized [N, resolution, resolution, 3].
 
-    H and W are static per compiled shape; the resize scale and crop offsets
-    are computed at trace time, so the jitted program is a single fused
-    resize+crop+normalize with no dynamic shapes.
+    H and W are static per compiled shape; the resize matrices and crop
+    offsets are computed at trace time, so the jitted program is two f32
+    matmuls + crop + normalize with no dynamic shapes and no gathers.
     """
     n, h, w, c = images.shape
     x = images.astype(jnp.float32) / 255.0
 
     rh, rw = resized_dims(h, w, resolution)
+    if rh != h:
+        mh = jnp.asarray(resize_matrix(h, rh, antialias))
+        x = jnp.einsum(
+            "oh,nhwc->nowc", mh, x, precision=jax.lax.Precision.HIGHEST
+        )
+    if rw != w:
+        mw = jnp.asarray(resize_matrix(w, rw, antialias))
+        x = jnp.einsum(
+            "pw,nhwc->nhpc", mw, x, precision=jax.lax.Precision.HIGHEST
+        )
     if (rh, rw) != (h, w):
-        x = jax.image.resize(x, (n, rh, rw, c), method="bicubic", antialias=antialias)
         # PIL clamps resampled values into the valid range
         x = jnp.clip(x, 0.0, 1.0)
 
