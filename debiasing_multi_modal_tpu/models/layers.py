@@ -120,22 +120,27 @@ class MLPBlock(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN transformer block with QuickGELU MLP (clip/model.py:171-192)."""
+    """Pre-LN transformer block with QuickGELU MLP (clip/model.py:171-192).
+
+    ``causal`` is a module field (not a call argument) so the block stays
+    remat-safe — rematerialization would otherwise trace it into a tracer.
+    """
 
     num_heads: int
+    causal: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array) -> jax.Array:
         x = x + MultiHeadAttentionBlock(
             self.num_heads,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(LayerNormF32(param_dtype=self.param_dtype, name="ln_1")(x), causal=causal)
+        )(LayerNormF32(param_dtype=self.param_dtype, name="ln_1")(x), causal=self.causal)
         x = x + MLPBlock(
             dtype=self.dtype, param_dtype=self.param_dtype, name="mlp"
         )(LayerNormF32(param_dtype=self.param_dtype, name="ln_2")(x))
@@ -162,13 +167,14 @@ class Transformer(nn.Module):
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+            block_cls = nn.remat(ResidualAttentionBlock)
         for i in range(self.layers):
             x = block_cls(
                 self.heads,
+                causal=causal,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
                 name=f"resblocks_{i}",
-            )(x, causal=causal)
+            )(x)
         return x

@@ -1,0 +1,109 @@
+"""Model zoo integrity, prediction-CSV artifacts, and pod-scale paths:
+tensor-parallel encoder sharding invariance and ViT remat compilation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from debiasing_multi_modal_tpu.models import create_clip, init_clip
+from debiasing_multi_modal_tpu.models.config import CLIPConfig
+from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+from debiasing_multi_modal_tpu.weights import zoo
+
+
+def test_zoo_table_and_digests(tmp_path):
+    assert set(zoo.available_models()) == {
+        "RN50", "RN101", "RN50x4", "RN50x16", "RN50x64",
+        "ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px",
+    }
+    digest = zoo.expected_sha256("RN50")
+    assert len(digest) == 64 and int(digest, 16)  # hex digest embedded in URL
+
+    # verification logic without the network: digest of a local file
+    p = tmp_path / "RN50.pt"
+    p.write_bytes(b"not a real checkpoint")
+    assert not zoo.verify(str(p), "RN50")
+    with pytest.raises(ValueError, match="unknown model"):
+        zoo.download("RN999")
+
+
+def test_prediction_csv_roundtrip(tmp_path):
+    from debiasing_multi_modal_tpu.data.predictions import (
+        load_predictions,
+        predictions_vector,
+        save_predictions,
+    )
+
+    fns = np.asarray([f"img_{i}.jpg" for i in range(10)])
+    preds = np.random.default_rng(0).integers(0, 2, 10)
+    path = str(tmp_path / "prediction.csv")
+    save_predictions(path, fns, preds)
+    table = load_predictions(path)
+    assert len(table) == 10
+    vec = predictions_vector(path, fns[::-1])
+    np.testing.assert_array_equal(vec, preds[::-1])
+
+
+TINY_VIT = CLIPConfig(
+    name="tp-vit",
+    embed_dim=32,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=128,
+    vision_patch_size=16,
+    transformer_width=128,
+    transformer_heads=2,
+    transformer_layers=2,
+)
+
+
+def test_encoder_tensor_parallel_sharding_invariance(rng):
+    """Sharding attention/MLP params over the model axis must not change the
+    encoder output (XLA inserts the collectives)."""
+    model = create_clip(TINY_VIT, attn_impl="xla")
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    imgs = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+
+    enc = jax.jit(lambda v, x: model.apply(v, x, method=model.encode_image))
+    base = np.asarray(enc(variables, imgs))
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+
+    def shard_leaf(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        spec = P()
+        if any(n in ("q_proj", "k_proj", "v_proj", "c_fc") for n in names):
+            spec = P(None, "model") if leaf.ndim == 2 else P("model")
+        elif any(n in ("out_proj", "c_proj") for n in names):
+            spec = P("model", None) if leaf.ndim == 2 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    sharded = jax.tree_util.tree_map_with_path(shard_leaf, variables)
+    imgs_sh = jax.device_put(imgs, NamedSharding(mesh, P("data")))
+    out = np.asarray(enc(sharded, imgs_sh))
+    np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-5)
+
+
+def test_vit_remat_compiles_and_matches(rng):
+    """Rematerialized blocks (pod-scale memory policy) change nothing
+    numerically."""
+    plain = create_clip(TINY_VIT, attn_impl="xla")
+    remat = create_clip(TINY_VIT, attn_impl="xla", remat=True)
+    variables = init_clip(plain, jax.random.PRNGKey(0), batch=1)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    a = plain.apply(variables, imgs, method=plain.encode_image)
+    b = remat.apply(variables, imgs, method=remat.encode_image)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    # gradients flow through the remat path (the point of remat is training)
+    def loss(params, model):
+        out = model.apply(
+            {"params": params}, imgs, method=model.encode_image
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(variables["params"], remat)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
