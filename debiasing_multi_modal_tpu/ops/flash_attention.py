@@ -39,13 +39,24 @@ BLOCK_KV = 128
 _NEG_INF = float(-1e30)
 
 
+# Auto-dispatch threshold.  Measured on v5e: at CLIP's sequence lengths
+# (50-257 tokens) XLA's fused batched attention wins decisively — the kernel
+# grid degenerates into thousands of sequential (batch*head) cells of tiny
+# work (ViT-B/32 encode: 65ms XLA vs 869ms Pallas at batch 512).  From ~1k
+# tokens the blockwise kernel is the enabler: the XLA path materializes the
+# [B, H, S, S] score tensor and OOMs at 4096 tokens where the Pallas kernel
+# runs fine.  "auto" therefore routes short sequences to XLA and long ones
+# here; pass impl="pallas" to force the kernel.
+MIN_AUTO_SEQ_LEN = 1024
+
+
 def supported(q, k, v, *, mask=None) -> bool:
-    """Whether the Pallas path handles these operands."""
+    """Whether the auto-dispatch should take the Pallas path."""
     if mask is not None:  # additive masks stay on the XLA path
         return False
     if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
         return False
-    if q.shape[1] < 8:  # single-query pooling etc.: XLA fuses better
+    if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA fuses better
         return False
     return _HAS_PLTPU
 
