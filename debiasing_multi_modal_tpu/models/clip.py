@@ -36,6 +36,7 @@ class CLIP(nn.Module):
     config: CLIPConfig
     attn_impl: str = "auto"
     remat: bool = False
+    fuse_bn: bool = False  # folded-BN inference variant (weights/fold.py)
 
     def setup(self):
         cfg = self.config
@@ -59,6 +60,7 @@ class CLIP(nn.Module):
                 width=cfg.vision_width,
                 dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype,
+                fuse_bn=self.fuse_bn,
             )
         self.text = TextTransformer(
             vocab_size=cfg.vocab_size,
@@ -103,13 +105,14 @@ def create_clip(
     dtype=jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
+    fuse_bn: bool = False,
 ) -> CLIP:
     cfg = (
         name_or_config
         if isinstance(name_or_config, CLIPConfig)
         else get_config(name_or_config, dtype=dtype)
     )
-    return CLIP(config=cfg, attn_impl=attn_impl, remat=remat)
+    return CLIP(config=cfg, attn_impl=attn_impl, remat=remat, fuse_bn=fuse_bn)
 
 
 def init_clip(

@@ -37,6 +37,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    fuse_bn: bool = False
 
     expansion: int = 4
 
@@ -48,14 +49,17 @@ class Bottleneck(nn.Module):
             feat,
             (kern, kern),
             padding="SAME" if kern > 1 else "VALID",
-            use_bias=False,
+            use_bias=self.fuse_bn,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
         )
-        bn = lambda feat, name: InferenceBatchNorm(  # noqa: E731
-            feat, param_dtype=self.param_dtype, name=name
-        )
+        if self.fuse_bn:
+            bn = lambda feat, name: (lambda h: h)  # noqa: E731
+        else:
+            bn = lambda feat, name: InferenceBatchNorm(  # noqa: E731
+                feat, param_dtype=self.param_dtype, name=name
+            )
 
         out = nn.relu(bn(self.planes, "bn1")(conv(self.planes, 1, "conv1")(x)))
         out = nn.relu(bn(self.planes, "bn2")(conv(self.planes, 3, "conv2")(out)))
@@ -118,12 +122,18 @@ class AttentionPool2d(nn.Module):
 
 
 class ModifiedResNet(nn.Module):
+    """``fuse_bn=True`` runs the deployment-grade inference variant: frozen
+    BatchNorms are folded into the adjacent convolutions (scaled kernels +
+    bias) at weight-conversion time (weights/fold.py), eliminating the
+    normalization ops entirely."""
+
     layers: Tuple[int, int, int, int]
     output_dim: int
     heads: int
     width: int = 64
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -134,14 +144,17 @@ class ModifiedResNet(nn.Module):
             (kern, kern),
             strides=(stride, stride),
             padding=((1, 1), (1, 1)),
-            use_bias=False,
+            use_bias=self.fuse_bn,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
         )
-        bn = lambda feat, name: InferenceBatchNorm(  # noqa: E731
-            feat, param_dtype=self.param_dtype, name=name
-        )
+        if self.fuse_bn:
+            bn = lambda feat, name: (lambda h: h)  # noqa: E731
+        else:
+            bn = lambda feat, name: InferenceBatchNorm(  # noqa: E731
+                feat, param_dtype=self.param_dtype, name=name
+            )
 
         # 3-conv stem with avgpool (reference model.py:107-117, 139-144)
         x = nn.relu(bn(self.width // 2, "bn1")(conv(self.width // 2, 3, 2, "conv1")(x)))
@@ -159,6 +172,7 @@ class ModifiedResNet(nn.Module):
                     stride=2 if (block == 0 and stage > 1) else 1,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    fuse_bn=self.fuse_bn,
                     name=f"layer{stage}_{block}",
                 )(x)
 
