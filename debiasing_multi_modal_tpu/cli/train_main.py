@@ -69,6 +69,11 @@ def build_parser():
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="enable mid-run Orbax checkpoints in this directory")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint_dir")
+    p.add_argument("--checkpoint_every", type=int, default=10)
     return p
 
 
@@ -123,7 +128,9 @@ def main(args):
     )
     cfg = cfg.replace(input_dim=int(bundle.text_class.shape[0]))
     (tr, va, te), (zs_c, zs_s), _ = train_all_epochs(
-        cfg, bundle, verbose=True, results_dir=args.results_dir
+        cfg, bundle, verbose=True, results_dir=args.results_dir,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
     print("best train:", tr)
     print("best val:", va)
