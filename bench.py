@@ -41,6 +41,7 @@ def main():
         batch = 512
         res_in = 256  # exercise the on-device resize+crop path
         iters, warmup = 20, 2
+        stage_packed = True  # one-buffer param staging (slow tunnel links)
     else:  # CPU smoke configuration (driver runs on TPU)
         from debiasing_multi_modal_tpu.models.config import CLIPConfig
 
@@ -60,8 +61,28 @@ def main():
         batch = 32
         res_in = 72
         iters, warmup = 3, 1
+        stage_packed = False
 
-    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    if stage_packed:
+        # Initialize on host CPU and ship ONE packed bf16 buffer: staging
+        # ~500 leaves individually over the axon tunnel pays a per-buffer
+        # round trip (~2x slower), and bf16 halves the bytes.  Throughput is
+        # measured with resident weights, so this only affects wall time.
+        from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            host_vars = jax.jit(model.init, backend="cpu")(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, model.config.image_resolution,
+                           model.config.image_resolution, 3), model.config.dtype),
+                jnp.zeros((1, model.config.context_length), jnp.int32),
+            )
+        buf, spec = pack_tree(jax.device_get(host_vars))
+        buf_dev = jnp.asarray(buf)
+        variables = jax.jit(lambda b: unpack_tree(b, spec))(buf_dev)
+    else:
+        variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
     text = np.random.default_rng(0).standard_normal(
         (2, model.config.embed_dim)
     ).astype(np.float32)

@@ -68,3 +68,24 @@ def test_dp_sharded_training_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(s_single.corrects), np.asarray(s_multi.corrects), atol=1e-5
     )
+
+
+def test_pack_unpack_roundtrip(rng):
+    from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
+
+    tree = {
+        "a": rng.standard_normal((4, 8)).astype(np.float32),
+        "b": {"c": rng.standard_normal(16).astype(np.float32)},
+    }
+    buf, spec = pack_tree(tree, exact=True)
+    assert buf.ndim == 1 and buf.size == 4 * 8 + 16
+    out = jax.jit(lambda b: unpack_tree(b, spec))(jnp.asarray(buf))
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-6)
+
+    # bf16 staging loses only mantissa bits
+    buf16, spec16 = pack_tree(tree)
+    out16 = unpack_tree(jnp.asarray(buf16), spec16)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out16)):
+        assert b.dtype == a.dtype  # cast back to the leaf dtype
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-2, atol=1e-2)
