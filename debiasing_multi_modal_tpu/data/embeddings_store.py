@@ -112,6 +112,13 @@ def save_embeddings(
             embeddings=table.embeddings.astype(np.float32),
         )
     elif fmt == "json":
+        try:
+            from debiasing_multi_modal_tpu.native import ebdjson
+
+            ebdjson.save_embeddings_json(path, table, dataset)
+            return
+        except Exception:
+            pass  # fall through to the pure-Python writer
         ykey, pkey = _JSON_KEYS[dataset]
         out = {}
         for i, fn in enumerate(table.filenames):

@@ -63,6 +63,14 @@ def _load_lib():
         lib.ebd_filename.restype = ctypes.c_char_p
         lib.ebd_filename.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.ebd_free.argtypes = [ctypes.c_void_p]
+        lib.ebd_write.restype = ctypes.c_int
+        lib.ebd_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         _lib = lib
         return lib
 
@@ -101,3 +109,27 @@ def load_embeddings_json(path: str, dataset: str):
         )
     finally:
         lib.ebd_free(handle)
+
+
+def save_embeddings_json(path: str, table, dataset: str) -> None:
+    """Serialize an EmbeddingTable into the reference clip.json schema via
+    the C++ writer."""
+    ykey, pkey = _JSON_KEYS[dataset]
+    lib = _load_lib()
+
+    def col(a):
+        arr = np.ascontiguousarray(a, np.int32)
+        return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    names = b"\0".join(str(fn).encode() for fn in table.filenames) + b"\0"
+    emb = np.ascontiguousarray(table.embeddings, np.float32)
+    keep = [col(table.y), col(table.place), col(table.group), col(table.split),
+            col(table.y_pred)]
+    rc = lib.ebd_write(
+        path.encode(), ykey.encode(), pkey.encode(), names,
+        keep[0][1], keep[1][1], keep[2][1], keep[3][1], keep[4][1],
+        emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(table), emb.shape[1] if emb.ndim == 2 else 0,
+    )
+    if rc != 0:
+        raise IOError(f"ebdjson writer failed (rc={rc}) for {path!r}")

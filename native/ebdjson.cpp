@@ -249,6 +249,61 @@ Table* parse_impl(const char* data, size_t len, const char* ykey_c,
 
 extern "C" {
 
+// Serialize the reference clip.json schema from contiguous arrays.
+// filenames: concatenated NUL-separated strings. Returns 0 on success.
+int ebd_write(const char* path, const char* ykey, const char* pkey,
+              const char* filenames, const int32_t* y, const int32_t* place,
+              const int32_t* group, const int32_t* split,
+              const int32_t* y_pred, const float* embeddings, int64_t n,
+              int64_t dim) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return 1;
+  std::string out;
+  out.reserve(1 << 22);
+  const char* fn = filenames;
+  out.push_back('{');
+  char num[64];
+  for (int64_t i = 0; i < n; ++i) {
+    if (i) out.push_back(',');
+    out.push_back('"');
+    out.append(fn);
+    fn += strlen(fn) + 1;
+    out.append("\": {\"");
+    out.append(ykey);
+    out.append("\": \"");
+    out.append(std::to_string(y[i]));
+    out.append("\", \"group\": \"");
+    out.append(std::to_string(group[i]));
+    out.append("\", \"");
+    out.append(pkey);
+    out.append("\": \"");
+    out.append(std::to_string(place[i]));
+    out.append("\", \"split\": \"");
+    out.append(std::to_string(split[i]));
+    out.append("\", \"image_embedding\": [");
+    const float* row = embeddings + i * dim;
+    for (int64_t j = 0; j < dim; ++j) {
+      if (j) out.push_back(',');
+      int len = snprintf(num, sizeof(num), "%.9g", row[j]);
+      out.append(num, len);
+    }
+    out.append("], \"y_pred\": \"");
+    out.append(std::to_string(y_pred[i]));
+    out.append("\"}");
+    if (out.size() > (1 << 21)) {
+      if (fwrite(out.data(), 1, out.size(), f) != out.size()) {
+        fclose(f);
+        return 2;
+      }
+      out.clear();
+    }
+  }
+  out.push_back('}');
+  int rc = fwrite(out.data(), 1, out.size(), f) == out.size() ? 0 : 2;
+  fclose(f);
+  return rc;
+}
+
 void* ebd_parse(const char* path, const char* ykey, const char* pkey) {
   FILE* f = fopen(path, "rb");
   if (!f) {

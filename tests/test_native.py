@@ -80,3 +80,27 @@ def test_native_parser_faster_than_python(json_path):
     python_dt = time.perf_counter() - t0
     # same order or faster; on CelebA-scale caches the gap is large
     assert native_dt < python_dt * 2.0, (native_dt, python_dt)
+
+
+def test_native_writer_roundtrip(tmp_path):
+    from debiasing_multi_modal_tpu.native import ebdjson
+
+    _, table, *_ = make_synthetic_dataset(SyntheticSpec(n_train=64, n_val=16, n_test=16))
+    path = str(tmp_path / "written.json")
+    ebdjson.save_embeddings_json(path, table, "waterbirds")
+    # parse with BOTH parsers and compare to the source table
+    for loaded in (
+        ebdjson.load_embeddings_json(path, "waterbirds"),
+        _load_json_python(path, "waterbirds"),
+    ):
+        np.testing.assert_array_equal(loaded.filenames, table.filenames)
+        np.testing.assert_array_equal(loaded.y, table.y)
+        np.testing.assert_array_equal(loaded.y_pred, table.y_pred)
+        np.testing.assert_allclose(loaded.embeddings, table.embeddings, rtol=1e-6)
+    # valid JSON for any consumer (pandas/reference)
+    import json
+
+    raw = json.loads(open(path).read())
+    rec = next(iter(raw.values()))
+    assert set(rec) == {"y", "place", "group", "split", "image_embedding", "y_pred"}
+    assert isinstance(rec["y"], str)
