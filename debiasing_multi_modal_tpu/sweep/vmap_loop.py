@@ -199,12 +199,21 @@ def train_seeds_vmapped(
             group_prompt = not cfg.use_cls_prompt_in_reg
             rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
             rlrs = epoch_batch_lrs(cfg, epoch, rplans[0].num_batches, 1)
-            state, _ = vm_train(
+            state, reg_statsS = vm_train(
                 single, state, reg_split,
                 reg_labels_group if group_prompt else reg_labels_target,
                 text_group if group_prompt else text_class, rplans, rlrs,
                 full_mask,
             )
+            if not group_prompt:
+                from debiasing_multi_modal_tpu.train.steps import EpochStats
+
+                statsS = EpochStats(
+                    statsS.corrects + reg_statsS.corrects,
+                    statsS.counts + reg_statsS.counts,
+                    statsS.loss_sum + reg_statsS.loss_sum,
+                    statsS.n + reg_statsS.n,
+                )
             train_res = stats_to_results(statsS, weighted=False)
         elif cfg.is_two_phase and epoch > feat_epochs:
             if epoch == feat_epochs + 1:

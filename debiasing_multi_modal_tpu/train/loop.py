@@ -377,12 +377,22 @@ def train_all_epochs(
                 cfg.batch_size, 1, epoch, None, full_mask,
             )
             group_prompt = not cfg.use_cls_prompt_in_reg
-            state, _ = run_train(
+            state, reg_stats = run_train(
                 state, single, reg_split,
                 reg_labels_group if group_prompt else reg_labels_target,
                 text_group if group_prompt else text_class,
                 reg_bs, 1, epoch, reg_order, full_mask,
             )
+            if not group_prompt:
+                # the reference's meters also accumulate the class-prompt reg
+                # pass (train_reg_one_epoch updates metrics iff use_group is
+                # False, final_main.py:536,551)
+                stats = EpochStats(
+                    stats.corrects + reg_stats.corrects,
+                    stats.counts + reg_stats.counts,
+                    stats.loss_sum + reg_stats.loss_sum,
+                    stats.n + reg_stats.n,
+                )
             train_res = _stats_to_results(stats, bundle, weighted=False)
         elif cfg.is_two_phase and epoch > feat_epochs:
             # ---------------- stage switch
