@@ -138,11 +138,18 @@ class ExtractionRunner:
     def run(
         self,
         batches: Iterable[Tuple[np.ndarray, Dict[str, np.ndarray]]],
+        prefetch_depth: int = 2,
     ) -> EmbeddingTable:
         """Drive extraction over an iterator of (uint8 images, metadata cols).
 
-        Metadata cols must include filenames/y/place/group/split.
+        Metadata cols must include filenames/y/place/group/split.  Host
+        decode overlaps device compute via a background prefetch thread
+        (depth 0 disables).
         """
+        if prefetch_depth:
+            from debiasing_multi_modal_tpu.data.prefetch import prefetch
+
+            batches = prefetch(batches, depth=prefetch_depth)
         embs, preds = [], []
         cols = {k: [] for k in ("filenames", "y", "place", "group", "split")}
         for images, meta in batches:
