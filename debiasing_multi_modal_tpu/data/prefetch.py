@@ -5,17 +5,23 @@ processes (num_workers=4, clip_inference.py:123).  The TPU-native equivalent
 is a bounded background-thread pipeline: host threads decode/transform the
 next batches while the device runs the current one (jit dispatch is async, so
 a depth-2 buffer suffices to hide host latency when decode is faster than
-encode)."""
+encode).
+
+Cancellation: abandoning the consumer generator (break / exception /
+GeneratorExit) sets a stop event; producers use timed puts so they observe it
+and exit instead of blocking forever on a full queue.
+"""
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional, TypeVar
+from typing import Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
 
 _SENTINEL = object()
+_PUT_POLL_S = 0.1
 
 
 def prefetch(
@@ -25,68 +31,69 @@ def prefetch(
 ) -> Iterator[T]:
     """Iterate ``iterable`` on background thread(s) with a bounded buffer.
 
-    With ``num_threads > 1`` the source must be an indexable-free iterator;
-    items are produced in completion order (fine for extraction where every
-    batch carries its own metadata).
+    ``depth <= 0`` disables prefetching (synchronous pass-through).  With
+    ``num_threads > 1`` items are produced in completion order (fine for
+    extraction where every batch carries its own metadata).
     """
+    if depth <= 0:
+        return iter(iterable)
     if num_threads == 1:
-        return _prefetch_ordered(iterable, depth)
-    return _prefetch_pool(iterable, depth, num_threads)
+        return _prefetch_threads(iter(iterable), depth, 1, locked=False)
+    return _prefetch_threads(iter(iterable), depth, num_threads, locked=True)
 
 
-def _prefetch_ordered(iterable, depth):
+def _prefetch_threads(src, depth, num_threads, locked):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    error = []
+    stop = threading.Event()
+    lock = threading.Lock() if locked else None
+    errors = []
+
+    def _put(item) -> bool:
+        """Timed put so a blocked producer observes cancellation."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=_PUT_POLL_S)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for item in iterable:
-                q.put(item)
-        except BaseException as e:  # surfaced on the consumer side
-            error.append(e)
-        finally:
-            q.put(_SENTINEL)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if error:
-                raise error[0]
-            return
-        yield item
-
-
-def _prefetch_pool(iterable, depth, num_threads):
-    src = iter(iterable)
-    lock = threading.Lock()
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    error = []
-    done = threading.Event()
-
-    def worker():
-        while not done.is_set():
-            with lock:
+            while not stop.is_set():
                 try:
-                    item = next(src)
+                    if lock is not None:
+                        with lock:
+                            item = next(src)
+                    else:
+                        item = next(src)
                 except StopIteration:
                     break
-                except BaseException as e:
-                    error.append(e)
-                    break
-            q.put(item)
-        q.put(_SENTINEL)
+                if not _put(item):
+                    return
+        except BaseException as e:  # surfaced on the consumer side
+            errors.append(e)
+        finally:
+            _put(_SENTINEL)
 
-    threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_threads)]
+    threads = [
+        threading.Thread(target=worker, daemon=True) for _ in range(num_threads)
+    ]
     for t in threads:
         t.start()
-    finished = 0
-    while finished < num_threads:
-        item = q.get()
-        if item is _SENTINEL:
-            finished += 1
-            continue
-        yield item
-    if error:
-        raise error[0]
+
+    def consume():
+        finished = 0
+        try:
+            while finished < num_threads:
+                item = q.get()
+                if item is _SENTINEL:
+                    finished += 1
+                    continue
+                yield item
+            if errors:
+                raise errors[0]
+        finally:
+            stop.set()
+
+    return consume()

@@ -16,37 +16,54 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
+
+from debiasing_multi_modal_tpu.parallel.mesh import batch_sharding, make_mesh
 
 
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    *,
+    single_process: bool = False,
 ):
-    """Initialize the JAX distributed runtime (no-op if single-process)."""
-    if num_processes in (None, 1) and coordinator_address is None:
+    """Initialize the JAX distributed runtime.
+
+    On Cloud TPU pods call with no arguments — jax.distributed auto-detects
+    the coordinator and process topology from the environment (the canonical
+    pod recipe).  Pass ``single_process=True`` to skip initialization
+    explicitly (local development); don't call this at all for plain
+    single-host runs.
+    """
+    if single_process:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def global_mesh(axis_names=("data",), shape=None) -> Mesh:
     """Mesh over *all* devices across hosts (jax.devices() is global)."""
-    devices = np.asarray(jax.devices())
-    if shape is None:
-        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    return Mesh(devices.reshape(shape), tuple(axis_names))
+    return make_mesh(shape=shape, axis_names=axis_names)
 
 
 def global_batch(local_batch: np.ndarray, mesh: Mesh, axis: str = "data"):
     """Assemble a globally batch-sharded array from each process's local
     shard (every process passes its own rows; the global batch is their
-    concatenation in process order)."""
-    sharding = NamedSharding(mesh, P(axis))
+    concatenation in process order).
+
+    Every process MUST pass the same local batch shape — pad ragged final
+    batches to a uniform size upstream (data/samplers.BatchPlan and
+    ExtractionRunner already do).  Raggedness cannot be detected locally;
+    mismatched shapes fail inside JAX with a shape error.
+    """
+    sharding = batch_sharding(mesh, axis)
     if jax.process_count() == 1:
         return jax.device_put(local_batch, sharding)
     global_shape = (
