@@ -65,6 +65,12 @@ def build_parser():
     p.add_argument("--continue_from_best", action="store_true")
     p.add_argument("--adapter_feat_dim", type=int, default=128)
     p.add_argument("--zs_temperature", type=float, default=0.01)
+    # contrastive_adapter method
+    p.add_argument("--num_anchor", type=int, default=1)
+    p.add_argument("--num_positive", type=int, default=64)
+    p.add_argument("--num_negative", type=int, default=64)
+    p.add_argument("--cl_temperature", type=float, default=0.1)
+    p.add_argument("--batch_factor", type=int, default=4)
     p.add_argument("--watch_batch_results", action="store_true")
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--random_seed", type=int, default=42)
@@ -106,6 +112,11 @@ def config_from_args(args):
         continue_from_best=args.continue_from_best,
         adapter_feat_dim=args.adapter_feat_dim,
         zs_temperature=args.zs_temperature,
+        num_anchor=args.num_anchor,
+        num_positive=args.num_positive,
+        num_negative=args.num_negative,
+        cl_temperature=args.cl_temperature,
+        batch_factor=args.batch_factor,
         random_seed=args.random_seed,
         save_results=args.save_results,
         print_freq=args.print_freq,

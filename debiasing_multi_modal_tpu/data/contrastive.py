@@ -115,11 +115,22 @@ def construct_contrastive_rows(
 ) -> np.ndarray:
     """[R, num_anchor + num_positive + num_negative] index rows."""
     per_slice: List[List[np.ndarray]] = []
+    skipped = 0
     for s, anchor_dict in enumerate(points.slice_anchors):
         rows = []
         neg_pool = points.slice_negatives[s]["ix"]
         for aix, anchor in enumerate(anchor_dict["ix"]):
             c = int(anchor_dict["target"][aix])
+            if (
+                c not in points.positives_by_class
+                or len(points.positives_by_class[c]["ix"]) == 0
+                or len(neg_pool) == 0
+            ):
+                # degenerate zero-shot predictions: a class with no correct
+                # samples has no positive pool (the reference crashes here,
+                # visualizer_supcon.py sample_positives); skip its anchors
+                skipped += 1
+                continue
             extra = _sample(anchor_dict["ix_by_class"][c], num_anchor - 1, rng) \
                 if num_anchor > 1 else np.empty(0, np.int64)
             pos = _sample(points.positives_by_class[c]["ix"], num_positive, rng)
@@ -128,8 +139,20 @@ def construct_contrastive_rows(
         if shuffle:
             rng.shuffle(rows)
         per_slice.append(rows)
+    if skipped:
+        import warnings
 
-    if balance_by_zs_pred and len(per_slice) == 2:
+        warnings.warn(
+            f"contrastive rows: skipped {skipped} anchors whose class has no "
+            "zero-shot-correct positives (degenerate predictions)"
+        )
+    if not any(per_slice):
+        raise ValueError(
+            "no contrastive rows could be built: zero-shot predictions have "
+            "no correct samples in any anchor class"
+        )
+
+    if balance_by_zs_pred and len(per_slice) == 2 and all(per_slice):
         # down-sample the slice with more failures by interleaved zip
         paired = list(zip(*per_slice))
         rows = [r for pair in paired for r in pair]

@@ -35,7 +35,10 @@ def _load_one(path: str, resolution: Optional[int]) -> np.ndarray:
         w, h = img.size
         rh, rw = resized_dims(h, w, resolution)
         if (rh, rw) != (h, w):
-            img = img.resize((rw, rh), Image.BICUBIC)
+            # BILINEAR: the extraction pipeline's effective kernel — the
+            # reference's outer torchvision Resize(224) (default BILINEAR)
+            # makes CLIP's own bicubic Resize a no-op (clip_inference.py:32)
+            img = img.resize((rw, rh), Image.BILINEAR)
         top = int(round((rh - resolution) / 2.0))
         left = int(round((rw - resolution) / 2.0))
         img = img.crop((left, top, left + resolution, top + resolution))

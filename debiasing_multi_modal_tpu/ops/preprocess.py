@@ -1,16 +1,19 @@
-"""On-device image preprocessing: bicubic resize + center crop + normalize.
+"""On-device image preprocessing: resize + center crop + normalize.
 
 Parity surface: the reference preprocessing chain (clip_inference.py:32-33 +
-clip/clip.py:79-86) — ``Resize(224, BICUBIC)`` (shorter side), ``CenterCrop
-(224)``, ``ToTensor``, ``Normalize(CLIP mean/std)``.  The reference composes
-the chain twice (crop ∘ preprocess); the second resize/crop is an identity, so
-the net transform is: shorter-side bicubic resize -> center crop -> normalize.
+clip/clip.py:79-86).  Note the composition subtlety: the extraction driver
+prepends its own ``Resize(224)`` (torchvision default = BILINEAR, long side
+TRUNCATED via ``int(size * long / short)``) + ``CenterCrop(224)``; CLIP's own
+``Resize(224, BICUBIC)`` then no-ops because the short side already equals
+224.  The net reference transform is therefore: shorter-side BILINEAR resize
+(antialiased, truncated long side) -> center crop -> normalize — which is
+this module's default.  ``method="bicubic"`` gives the standalone
+``clip.load`` preprocessing for pipelines that skip the extra crop.
 
 TPU-first: the whole transform is one jitted function over a fixed-shape
 ``uint8 [N, H, W, 3]`` batch — the host only decodes; scaling, cropping and
-normalization are fused on device (XLA fuses the elementwise tail into the
-resize gather), so per-image Python never touches the hot loop (SURVEY.md §7
-hard part 5).
+normalization are fused on device, so per-image Python never touches the hot
+loop (SURVEY.md §7 hard part 5).
 """
 
 from __future__ import annotations
@@ -27,11 +30,12 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 def resized_dims(h: int, w: int, target: int) -> Tuple[int, int]:
-    """torchvision Resize(shorter-side) output size (round-half-even free:
-    torchvision uses int(round(...)))."""
+    """torchvision Resize(shorter-side) output size.  The long side is
+    TRUNCATED (``int(size * long / short)``), matching torchvision's
+    ``_compute_resized_output_size``."""
     if h <= w:
-        return target, max(target, int(round(w * target / h)))
-    return max(target, int(round(h * target / w))), target
+        return target, max(target, int(w * target / h))
+    return max(target, int(h * target / w)), target
 
 
 def _cubic_kernel(t: "np.ndarray") -> "np.ndarray":
@@ -47,9 +51,18 @@ def _cubic_kernel(t: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def _linear_kernel(t: "np.ndarray") -> "np.ndarray":
+    """Triangle kernel — bilinear resampling."""
+    import numpy as np
+
+    return np.maximum(0.0, 1.0 - np.abs(t))
+
+
 @functools.lru_cache(maxsize=64)
-def resize_matrix(in_size: int, out_size: int, antialias: bool = True):
-    """[out_size, in_size] separable bicubic resampling matrix.
+def resize_matrix(
+    in_size: int, out_size: int, antialias: bool = True, method: str = "bilinear"
+):
+    """[out_size, in_size] separable resampling matrix.
 
     Resizing along one axis is a linear map; materializing it turns the whole
     resize into two small matmuls that XLA schedules on the MXU.  The
@@ -57,45 +70,52 @@ def resize_matrix(in_size: int, out_size: int, antialias: bool = True):
     TPU for batched NHWC inputs — this formulation compiles in milliseconds
     and runs faster.  Kernel semantics (half-pixel sampling, antialiased
     support scaling for downsampling, edge clamping via weight
-    renormalization) match ``jax.image.resize(method='bicubic')``.
+    renormalization) match ``jax.image.resize`` for the same method.
     """
     import numpy as np
 
+    kernel = {"bilinear": _linear_kernel, "bicubic": _cubic_kernel}[method]
     scale = out_size / in_size
     kscale = max(1.0, 1.0 / scale) if antialias else 1.0
     # output pixel centers mapped into input coordinates (half-pixel centers)
     x = (np.arange(out_size) + 0.5) / scale - 0.5
     j = np.arange(in_size)
     t = (x[:, None] - j[None, :]) / kscale
-    weights = _cubic_kernel(t) / kscale
+    weights = kernel(t) / kscale
     weights = weights / weights.sum(axis=1, keepdims=True)
     return weights.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "antialias", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("resolution", "antialias", "dtype", "method")
+)
 def preprocess_uint8(
     images: jax.Array,
     resolution: int = 224,
     antialias: bool = True,
     dtype=jnp.float32,
+    method: str = "bilinear",
 ) -> jax.Array:
     """uint8 [N, H, W, 3] -> CLIP-normalized [N, resolution, resolution, 3].
 
     H and W are static per compiled shape; the resize matrices and crop
     offsets are computed at trace time, so the jitted program is two f32
     matmuls + crop + normalize with no dynamic shapes and no gathers.
+    Default ``method="bilinear"`` matches the reference extraction pipeline
+    (see module docstring); use ``"bicubic"`` for standalone clip.load
+    semantics.
     """
     n, h, w, c = images.shape
     x = images.astype(jnp.float32) / 255.0
 
     rh, rw = resized_dims(h, w, resolution)
     if rh != h:
-        mh = jnp.asarray(resize_matrix(h, rh, antialias))
+        mh = jnp.asarray(resize_matrix(h, rh, antialias, method))
         x = jnp.einsum(
             "oh,nhwc->nowc", mh, x, precision=jax.lax.Precision.HIGHEST
         )
     if rw != w:
-        mw = jnp.asarray(resize_matrix(w, rw, antialias))
+        mw = jnp.asarray(resize_matrix(w, rw, antialias, method))
         x = jnp.einsum(
             "pw,nhwc->nhpc", mw, x, precision=jax.lax.Precision.HIGHEST
         )

@@ -37,6 +37,7 @@ from debiasing_multi_modal_tpu.train.loop import (
 )
 from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
 from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
+from debiasing_multi_modal_tpu.utils.trees import host_copy as _host_tree
 from debiasing_multi_modal_tpu.train.steps import (
     TrainState,
     eval_epoch,
@@ -49,10 +50,6 @@ from debiasing_multi_modal_tpu.train.steps import (
 
 def _tree_stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-
-
-def _host_tree(tree):
-    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 def train_seeds_vmapped(
@@ -217,17 +214,25 @@ def train_seeds_vmapped(
             train_res = stats_to_results(statsS, weighted=False)
         elif cfg.is_two_phase and epoch > feat_epochs:
             if epoch == feat_epochs + 1:
-                if cfg.continue_from_best and all(
+                if cfg.continue_from_best and any(
                     p is not None for p in best["params"]
                 ):
-                    # all phase-1 bests share the single-adapter structure
+                    # per-seed semantics (mirrors the sequential loop): seeds
+                    # with a best snapshot load it; the rest keep their
+                    # current phase-1 state.  All phase-1 snapshots share the
+                    # single-adapter structure.
+                    cur_p = _host_tree(state.params)
+                    cur_s = _host_tree(state.batch_stats)
+                    picked_p, picked_s = [], []
+                    for i in range(S):
+                        if best["params"][i] is not None:
+                            picked_p.append(jax.tree.map(jnp.asarray, best["params"][i]))
+                            picked_s.append(jax.tree.map(jnp.asarray, best["stats"][i]))
+                        else:
+                            picked_p.append(jax.tree.map(lambda a: jnp.asarray(a[i]), cur_p))
+                            picked_s.append(jax.tree.map(lambda a: jnp.asarray(a[i]), cur_s))
                     state = init_train_state(
-                        _tree_stack(
-                            [jax.tree.map(jnp.asarray, best["params"][i]) for i in range(S)]
-                        ),
-                        _tree_stack(
-                            [jax.tree.map(jnp.asarray, best["stats"][i]) for i in range(S)]
-                        ),
+                        _tree_stack(picked_p), _tree_stack(picked_s)
                     )
                 if cfg.add_adapter:
                     ma_inits = []

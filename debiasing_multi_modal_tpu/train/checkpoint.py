@@ -17,11 +17,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-
-def _to_host(tree):
-    import jax
-
-    return jax.tree.map(np.asarray, jax.device_get(tree))
+from debiasing_multi_modal_tpu.utils.trees import host_copy as _to_host
 
 
 def save_checkpoint(

@@ -59,6 +59,13 @@ class TrainConfig:
     zs_temperature: float = 0.01
     input_dim: int = 1024
 
+    # contrastive_adapter method (SupCon machinery, demo/visualizer_supcon.py)
+    num_anchor: int = 1
+    num_positive: int = 64
+    num_negative: int = 64
+    cl_temperature: float = 0.1
+    batch_factor: int = 4  # contrastive rows per optimizer step
+
     # misc
     random_seed: int = 42
     save_results: bool = False

@@ -55,6 +55,7 @@ from debiasing_multi_modal_tpu.models.adapter import (
 )
 from debiasing_multi_modal_tpu.train.config import TrainConfig
 from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
+from debiasing_multi_modal_tpu.utils.trees import host_copy as _host_copy
 from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
 from debiasing_multi_modal_tpu.train.steps import (
     EpochStats,
@@ -209,10 +210,6 @@ def _evaluate(
     return _stats_to_results(stats, bundle, weighted=True)
 
 
-def _host_copy(tree):
-    return jax.tree.map(np.asarray, jax.device_get(tree))
-
-
 def make_classifier(cfg: TrainConfig):
     if cfg.tl_method == "linear_probing":
         return LinearClassifier(num_classes=cfg.n_cls)
@@ -297,6 +294,7 @@ def train_all_epochs(
 
     best = {"acc": 0.0, "epoch": 0, "params": None, "stats": None, "multiple": False}
     history = {"train": [], "val": [], "test": []}
+    contrastive_rows = None  # built lazily for tl_method="contrastive_adapter"
 
     feat_epochs = cfg.epochs_feature_learning or cfg.epochs
     start_epoch = 1
@@ -443,6 +441,67 @@ def train_all_epochs(
                     reg_bs, 2, epoch, reg_order, full_mask,
                 )
             train_res = _stats_to_results(stats, bundle, weighted=False)
+        elif cfg.tl_method == "contrastive_adapter":
+            # Supervised-contrastive feature learning on the adapter (the
+            # reference's notebook-driven CA trainer, visualizer_supcon.py
+            # train_one_epoch_cl; final_main.py lists the method but has no
+            # working branch for it).  Rows are built once from the zero-shot
+            # slices; each epoch reshuffles them.
+            from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
+            from debiasing_multi_modal_tpu.train.contrastive import (
+                train_contrastive_epoch,
+            )
+            from debiasing_multi_modal_tpu.train.steps import TrainState as TS
+
+            if contrastive_rows is None:
+                from debiasing_multi_modal_tpu.data.contrastive import (
+                    construct_contrastive_rows,
+                    prepare_contrastive_points,
+                )
+
+                points = prepare_contrastive_points(
+                    bundle.train.y, bundle.train.y_pred
+                )
+                contrastive_rows = construct_contrastive_rows(
+                    points, cfg.num_anchor, cfg.num_positive, cfg.num_negative,
+                    rng,
+                )
+                log(f"contrastive rows: {contrastive_rows.shape}")
+            rows = contrastive_rows[rng.permutation(len(contrastive_rows))]
+            nb = max(len(rows) // cfg.batch_factor, 1)
+            rows = rows[: nb * cfg.batch_factor].reshape(
+                nb, cfg.batch_factor, -1
+            )
+            lrs = epoch_batch_lrs(cfg, epoch, nb, 1)
+            mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
+            sub_state = TS(
+                state.params["adapter"],
+                state.batch_stats["adapter"],
+                state.trace["adapter"],
+            )
+            sub_state, cl_losses = train_contrastive_epoch(
+                mlp, sub_state, bundle.train.emb, jnp.asarray(rows),
+                jnp.asarray(lrs), ones_mask(sub_state.params),
+                num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
+                num_negative=cfg.num_negative, temperature=cfg.cl_temperature,
+                momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+            )
+            state = TS(
+                {**state.params, "adapter": sub_state.params},
+                {**state.batch_stats, "adapter": sub_state.batch_stats},
+                {**state.trace, "adapter": sub_state.trace},
+            )
+            history.setdefault("cl_loss", []).append(
+                float(np.mean(np.asarray(cl_losses)))
+            )
+            log(f"contrastive loss: {history['cl_loss'][-1]:.4f}")
+            # train metrics via the zero-shot head on the train split
+            # (the reference's CL epoch reports loss only; group accuracy
+            # comes from validation passes)
+            train_res = _evaluate(
+                single, state.params, state.batch_stats, bundle.train,
+                train_labels, text_class, cfg.batch_size, bundle,
+            )
         else:
             # plain ERM epoch (linear_probing / adapter / phase 1)
             order = None

@@ -151,9 +151,16 @@ bool skip_value(Cursor& c) {
   }
   if (ch == '{') return skip_container(c, '{', '}');
   if (ch == '[') return skip_container(c, '[', ']');
-  if (strncmp(c.p, "true", 4) == 0) { c.p += 4; return true; }
-  if (strncmp(c.p, "false", 5) == 0) { c.p += 5; return true; }
-  if (strncmp(c.p, "null", 4) == 0) { c.p += 4; return true; }
+  auto lit = [&](const char* word, size_t len) {
+    // bounds-checked literal match: the buffer is NOT NUL-terminated
+    if (static_cast<size_t>(c.end - c.p) >= len &&
+        memcmp(c.p, word, len) == 0) {
+      c.p += len;
+      return true;
+    }
+    return false;
+  };
+  if (lit("true", 4) || lit("false", 5) || lit("null", 4)) return true;
   double d;
   return parse_double(c, d);
 }

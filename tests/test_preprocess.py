@@ -17,8 +17,9 @@ from debiasing_multi_modal_tpu.ops.preprocess import (
 
 def test_resized_dims_matches_torchvision_rule():
     assert resized_dims(448, 448, 224) == (224, 224)
-    assert resized_dims(300, 400, 224) == (224, 299)
-    assert resized_dims(400, 300, 224) == (299, 224)
+    # long side truncates: int(224 * 400 / 300) = 298, not round() = 299
+    assert resized_dims(300, 400, 224) == (224, 298)
+    assert resized_dims(400, 300, 224) == (298, 224)
     assert resized_dims(224, 224, 224) == (224, 224)
     assert resized_dims(100, 200, 224) == (224, 448)
 
@@ -46,7 +47,9 @@ def test_preprocess_matches_pil_reference(hw):
     img = ((img - img.min()) / (np.ptp(img) + 1e-9) * 255).astype(np.uint8)
 
     rh, rw = resized_dims(h, w, 224)
-    pil = Image.fromarray(img).resize((rw, rh), Image.BICUBIC)
+    # the reference pipeline's effective kernel is BILINEAR (outer
+    # torchvision Resize default; CLIP's bicubic resize no-ops after it)
+    pil = Image.fromarray(img).resize((rw, rh), Image.BILINEAR)
     arr = np.asarray(pil, np.float32) / 255.0
     top = int(round((rh - 224) / 2.0))
     left = int(round((rw - 224) / 2.0))

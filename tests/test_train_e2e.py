@@ -148,3 +148,23 @@ def test_determinism_same_seed(bundle):
     r1 = train_all_epochs(cfg, bundle, verbose=False)
     r2 = train_all_epochs(cfg, bundle, verbose=False)
     assert r1[0] == r2[0]
+
+
+def test_contrastive_adapter_method(bundle):
+    """tl_method='contrastive_adapter' trains with SupCon (not silently CE):
+    the contrastive loss decreases across epochs and the full eval/selection
+    plumbing runs.  (ZS accuracy is not asserted: without a text-anchor
+    constraint SupCon legitimately reshapes the synthetic feature space away
+    from the synthetic text anchors.)"""
+    base = dict(BASE)
+    base["learning_rate"] = 0.02  # SupCon has no CE anchor; gentler LR
+    cfg = TrainConfig(
+        tl_method="contrastive_adapter", epochs=5,
+        num_positive=16, num_negative=16, batch_factor=8,
+        **base,
+    )
+    (_, _, te), _, hist = train_all_epochs(cfg, bundle, verbose=False)
+    assert len(hist["val"]) == 5
+    assert len(hist["cl_loss"]) == 5
+    assert hist["cl_loss"][-1] < hist["cl_loss"][0], hist["cl_loss"]
+    assert set(te) >= {"worst_acc", "mean_acc"}
