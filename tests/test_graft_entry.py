@@ -89,3 +89,57 @@ def test_pack_unpack_roundtrip(rng):
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out16)):
         assert b.dtype == a.dtype  # cast back to the leaf dtype
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-2, atol=1e-2)
+
+
+def test_vmapped_seeds_compose_with_dp_sharding(rng):
+    """Vmapped multi-seed training over a batch-sharded embedding table:
+    the seed axis (vmap) composes with the data axis (mesh sharding)."""
+    from debiasing_multi_modal_tpu.train.steps import TrainState
+
+    dim, hidden, bs, nb, S = 32, 16, 16, 2, 3
+    module = AdapterClassifier(hidden_dim=hidden, temperature=0.01)
+    emb = rng.standard_normal((bs * nb, dim)).astype(np.float32)
+    labels = rng.integers(0, 2, bs * nb).astype(np.int32)
+    groups = rng.integers(0, 4, bs * nb).astype(np.int32)
+    text = rng.standard_normal((dim, 2)).astype(np.float32)
+
+    inits = [
+        module.init(jax.random.PRNGKey(s), jnp.asarray(emb[:2]), jnp.asarray(text), train=True)
+        for s in range(S)
+    ]
+    paramsS = jax.tree.map(lambda *xs: jnp.stack(xs), *[v["params"] for v in inits])
+    statsS = jax.tree.map(lambda *xs: jnp.stack(xs), *[v["batch_stats"] for v in inits])
+    stateS = TrainState(paramsS, statsS, jax.tree.map(jnp.zeros_like, paramsS))
+    mask_tree = ones_mask(inits[0]["params"])
+
+    mesh = make_mesh((8,))
+    emb_sh = jax.device_put(jnp.asarray(emb), NamedSharding(mesh, P("data")))
+    idxS = jnp.tile(jnp.arange(bs * nb, dtype=jnp.int32).reshape(1, nb, bs), (S, 1, 1))
+    mskS = jnp.ones((S, nb, bs), bool)
+    lrs = jnp.full((nb,), 0.1, jnp.float32)
+
+    def one(st, idx, msk):
+        return train_epoch(
+            module, st, emb_sh, jnp.asarray(labels), jnp.asarray(groups),
+            idx, msk, lrs, jnp.asarray(text), mask_tree,
+            n_groups=4, momentum=0.9, weight_decay=5e-5,
+        )
+
+    newS, statsOut = jax.vmap(one)(stateS, idxS, mskS)
+    # identical plans per seed but different inits -> different params, and
+    # counts must equal the unsharded single-seed run
+    single_state = TrainState(
+        inits[0]["params"], inits[0]["batch_stats"],
+        jax.tree.map(jnp.zeros_like, inits[0]["params"]),
+    )
+    _, stats_single = train_epoch(
+        module, single_state, jnp.asarray(emb), jnp.asarray(labels),
+        jnp.asarray(groups), idxS[0], mskS[0], lrs, jnp.asarray(text),
+        mask_tree, n_groups=4, momentum=0.9, weight_decay=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(statsOut.counts[0]), np.asarray(stats_single.counts), atol=1e-6
+    )
+    p0 = jax.tree.leaves(newS.params)[0]
+    assert p0.shape[0] == S
+    assert np.abs(np.asarray(p0[0]) - np.asarray(p0[1])).max() > 1e-6
