@@ -107,3 +107,36 @@ def test_vit_remat_compiles_and_matches(rng):
 
     g = jax.grad(loss)(variables["params"], remat)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_zoo_load_from_local_state_dict(tmp_path, rng):
+    """zoo.load with a local .pt path: raw state-dict route through the
+    converter, end to end (no network)."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_zoo_test", "/root/reference/clip/model.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    ref = mod.CLIP(
+        embed_dim=32, image_resolution=64, vision_layers=1, vision_width=64,
+        vision_patch_size=16, context_length=77, vocab_size=512,
+        transformer_width=64, transformer_heads=1, transformer_layers=1,
+    ).float().eval()
+    path = str(tmp_path / "tiny.pt")
+    torch.save(ref.state_dict(), path)
+
+    model, variables = zoo.load(path)
+    assert model.config.embed_dim == 32 and model.config.vision_patch_size == 16
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    out = model.apply(variables, imgs, method=model.encode_image)
+    with __import__("torch").no_grad():
+        ref_out = ref.encode_image(
+            __import__("torch").from_numpy(
+                np.asarray(imgs).transpose(0, 3, 1, 2)
+            )
+        ).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4)
