@@ -170,5 +170,14 @@ def main(args):
         print("save img and pred")
 
 
+
+
+def _entry():
+    """console-script entry point (pyproject.toml)."""
+    import sys
+
+    sys.exit(main(build_parser().parse_args()))
+
+
 if __name__ == "__main__":
     sys.exit(main(build_parser().parse_args()))

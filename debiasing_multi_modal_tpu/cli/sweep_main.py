@@ -61,5 +61,14 @@ def main(args):
     return 0
 
 
+
+
+def _entry():
+    """console-script entry point (pyproject.toml)."""
+    import sys
+
+    sys.exit(main(extend_parser(build_parser()).parse_args()))
+
+
 if __name__ == "__main__":
     sys.exit(main(extend_parser(build_parser()).parse_args()))
