@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--format", default="both", choices=["json", "npz", "both"])
     p.add_argument("--host_resolution", type=int, default=224,
                    help="host-side resize/crop target; 0 = raw decode, geometry on device")
+    p.add_argument("--fuse_bn", action="store_true",
+                   help="fold the frozen ResNet BatchNorms into the convs "
+                        "(deployment inference variant; ResNet backbones only)")
     return p
 
 
@@ -88,6 +91,15 @@ def main(args):
         model = create_clip(args.backbone, dtype=dtype)
         variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
         print(f"WARNING: no --checkpoint given; {args.backbone} runs with random weights")
+
+    if args.fuse_bn:
+        from debiasing_multi_modal_tpu.weights.fold import fold_resnet_bn
+
+        if model.config.is_vit:
+            raise SystemExit("--fuse_bn applies to ResNet backbones only")
+        variables = fold_resnet_bn(jax.device_get(variables))
+        model = create_clip(model.config, fuse_bn=True)
+        print("folded frozen BatchNorms into the convolutions")
 
     prompts = get_prompts(args.dataset)
     text = encode_text_prompts(
