@@ -141,6 +141,42 @@ def bundle_from_embedding_table(table, meta_by_split: Dict[str, GroupTable],
     )
 
 
+def shard_bundle(bundle: "DataBundle", mesh) -> "DataBundle":
+    """Re-place a bundle's embedding tables batch-sharded over the mesh's
+    ``data`` axis.  The jitted epoch scans then run data-parallel — XLA
+    inserts the gradient psum from the sharding annotations; nothing else in
+    the training loop changes (SURVEY.md §5.8 plan).
+
+    Split sizes need not divide the mesh: gathers inside jit handle uneven
+    shards.  Pass the result anywhere a bundle is accepted (train_all_epochs,
+    train_seeds_vmapped)."""
+    import dataclasses as _dc
+
+    from debiasing_multi_modal_tpu.parallel.mesh import batch_sharding, pad_to_multiple
+
+    sharding = batch_sharding(mesh)
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def place(split: SplitArrays) -> SplitArrays:
+        emb = split.emb
+        n = emb.shape[0]
+        padded = pad_to_multiple(n, n_dev)
+        if padded != n:
+            # pad rows are never gathered: batch plans index by the label
+            # arrays' length, which stays n
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((padded - n, emb.shape[1]), emb.dtype)]
+            )
+        return _dc.replace(split, emb=jax.device_put(emb, sharding))
+
+    return _dc.replace(
+        bundle,
+        train=place(bundle.train),
+        val=place(bundle.val),
+        test=place(bundle.test),
+    )
+
+
 def bundle_from_files(
     dataset: str,
     data_dir: str,

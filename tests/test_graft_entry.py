@@ -143,3 +143,34 @@ def test_vmapped_seeds_compose_with_dp_sharding(rng):
     p0 = jax.tree.leaves(newS.params)[0]
     assert p0.shape[0] == S
     assert np.abs(np.asarray(p0[0]) - np.asarray(p0[1])).max() > 1e-6
+
+
+def test_shard_bundle_training_matches_unsharded():
+    from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import (
+        bundle_from_embedding_table,
+        shard_bundle,
+        train_all_epochs,
+    )
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=130, n_val=70, n_test=66, dim=32)  # uneven vs 8
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        dataset="waterbirds", input_dim=32, adapter_feat_dim=8,
+        batch_size=64, batch_size_reg=16, learning_rate=0.5,
+        learning_rate_reg=0.5, lr_decay_epochs=(100,),
+    )
+    ref = train_all_epochs(cfg, bundle, verbose=False)
+    sharded = shard_bundle(bundle, make_mesh((8,)))
+    got = train_all_epochs(cfg, sharded, verbose=False)
+    for a, b in zip(ref[2]["val"], got[2]["val"]):
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
