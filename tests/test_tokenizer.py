@@ -95,3 +95,34 @@ def test_parity_with_reference_bpe():
     )
     for text in corpus:
         assert ref.encode(text) == mine.encode(text), text
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(REFERENCE_TOKENIZER), reason="reference tree not mounted"
+)
+def test_property_parity_random_strings():
+    """Byte-exact parity with the reference BPE on 300 random strings drawn
+    from a mixed alphabet (ASCII words, digits, punctuation, unicode)."""
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda t: t
+        sys.modules["ftfy"] = stub
+    spec = importlib.util.spec_from_file_location("ref_tok_prop", REFERENCE_TOKENIZER)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ref = mod.SimpleTokenizer()
+    mine = default_tokenizer()
+
+    rng = np.random.default_rng(0)
+    words = [
+        "bird", "water", "the", "photo", "of", "a", "background", "land",
+        "supercalifragilistic", "x", "don't", "it's", "123", "7", "!!", "?!",
+        ",", ".", "-", "_", "café", "naïve", "(parens)", "[brackets]",
+        "MixedCase", "UPPER", "email@example.com", "http://a.b/c",
+    ]
+    for _ in range(300):
+        n = int(rng.integers(1, 12))
+        text = " ".join(rng.choice(words, n))
+        if rng.random() < 0.3:
+            text = text.replace(" ", "  ", 1)  # irregular whitespace
+        assert ref.encode(text) == mine.encode(text), repr(text)
