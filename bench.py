@@ -12,10 +12,12 @@ Prints ONE JSON line:
    "unit": "imgs/sec/chip", "vs_baseline": N / 5000.0}
 
 vs_baseline is against the driver-set target of 5,000 imgs/sec/chip
-(BASELINE.md).
+(BASELINE.md).  Set BENCH_BACKBONE (e.g. "ViT-B/32") to measure another
+backbone; the metric name follows it.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -33,11 +35,12 @@ def main():
     on_accel = backend not in ("cpu",)
     dtype = jnp.bfloat16 if on_accel else jnp.float32
 
+    backbone = os.environ.get("BENCH_BACKBONE", "RN50")
     if on_accel:
         # f32 params + bf16 compute: measured 2.3x faster than bf16 params
         # on v5e (XLA picks a better conv algorithm), and it is the
         # accuracy-policy dtype anyway.
-        model = create_clip("RN50", dtype=dtype)
+        model = create_clip(backbone, dtype=dtype)
         batch = 512
         res_in = 256  # exercise the on-device resize+crop path
         iters, warmup = 20, 2
@@ -121,7 +124,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rn50_extract_imgs_per_sec_per_chip",
+                "metric": (
+                    backbone.lower().replace("/", "_").replace("-", "_")
+                    + "_extract_imgs_per_sec_per_chip"
+                ),
                 "value": round(per_chip, 1),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(per_chip / 5000.0, 3),
