@@ -95,3 +95,22 @@ def test_cell_filename_encodes_config():
     assert name.startswith("ds_waterbirds_tl_adapter_reg_seq_alter_bs_128_lr_0.5")
     assert "_balval" in name and name.endswith("_MA+rn.csv")
     assert "_GP" not in name  # alter method omits the prompt tag
+
+
+def test_vmapped_tiny_reg_batch_matches_sequential(bundle):
+    """SURVEY.md hard part 3: BatchNorm at reg batch size 4 (the reference's
+    best CelebA config) is statistics-noise-dominated by design — the vmapped
+    seed axis must reproduce the sequential loop's trajectories exactly even
+    in this regime."""
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=6, epochs_feature_learning=2,
+        balance_val=True, warm_reg=True,
+        **{**BASE, "batch_size_reg": 4, "dataset": "celeba"},
+    )
+    seeds = [42, 32]
+    seq = run_seeds(cfg, bundle, seeds, use_vmap=False)
+    vm = run_seeds(cfg, bundle, seeds, use_vmap=True)
+    for (s_res, _), (v_res, _) in zip(seq, vm):
+        for s_d, v_d in zip(s_res, v_res):
+            for k in s_d:
+                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
