@@ -120,11 +120,11 @@ class ExtractionRunner:
             out_shardings=(data_sh, data_sh),
         )
 
-    def encode_batch(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """uint8 [B, H, W, 3] -> (embeddings [B, D] f32, preds [B] i32).
+    def encode_batch_async(self, images: np.ndarray):
+        """Dispatch one batch; returns device arrays (no host sync).
 
-        The batch is padded to a multiple of the mesh size; padded rows are
-        dropped from the result.
+        The batch is padded to a multiple of the mesh size; callers slice
+        the first ``b`` rows after conversion.
         """
         b = images.shape[0]
         padded = pad_to_multiple(b, self.n_devices)
@@ -133,6 +133,11 @@ class ExtractionRunner:
                 [images, np.repeat(images[-1:], padded - b, axis=0)], axis=0
             )
         emb, preds = self._step(self.variables, self.zs_weights, jnp.asarray(images))
+        return emb, preds, b
+
+    def encode_batch(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 [B, H, W, 3] -> (embeddings [B, D] f32, preds [B] i32)."""
+        emb, preds, b = self.encode_batch_async(images)
         return np.asarray(emb)[:b], np.asarray(preds)[:b]
 
     def run(
@@ -150,14 +155,16 @@ class ExtractionRunner:
             from debiasing_multi_modal_tpu.data.prefetch import prefetch
 
             batches = prefetch(batches, depth=prefetch_depth)
-        embs, preds = [], []
+        # Results stay on device until the end: converting per batch would
+        # force a host sync each step and drain the device queue.
+        pending = []
         cols = {k: [] for k in ("filenames", "y", "place", "group", "split")}
         for images, meta in batches:
-            e, p = self.encode_batch(images)
-            embs.append(e)
-            preds.append(p)
+            pending.append(self.encode_batch_async(images))
             for k in cols:
                 cols[k].append(np.asarray(meta[k]))
+        embs = [np.asarray(e)[:b] for e, _, b in pending]
+        preds = [np.asarray(p)[:b] for _, p, b in pending]
         return EmbeddingTable(
             filenames=np.concatenate(cols["filenames"]),
             y=np.concatenate(cols["y"]).astype(np.int32),
