@@ -65,6 +65,7 @@ def main():
         res_in = 72
         iters, warmup = 3, 1
         stage_packed = False
+        backbone = "cpu_smoke_tiny_rn"  # metric name reflects what ran
 
     if stage_packed:
         # Initialize on host CPU and ship ONE packed bf16 buffer: staging
@@ -130,7 +131,10 @@ def main():
                 ),
                 "value": round(per_chip, 1),
                 "unit": "imgs/sec/chip",
-                "vs_baseline": round(per_chip / 5000.0, 3),
+                # the 5k target is defined for RN50 only (BASELINE.md)
+                "vs_baseline": (
+                    round(per_chip / 5000.0, 3) if backbone == "RN50" else None
+                ),
             }
         )
     )

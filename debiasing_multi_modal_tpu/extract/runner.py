@@ -144,27 +144,38 @@ class ExtractionRunner:
         self,
         batches: Iterable[Tuple[np.ndarray, Dict[str, np.ndarray]]],
         prefetch_depth: int = 2,
+        max_in_flight: int = 4,
     ) -> EmbeddingTable:
         """Drive extraction over an iterator of (uint8 images, metadata cols).
 
         Metadata cols must include filenames/y/place/group/split.  Host
         decode overlaps device compute via a background prefetch thread
-        (depth 0 disables).
+        (depth 0 disables).  Dispatch runs ``max_in_flight`` batches ahead of
+        result conversion — enough to pipeline host and device, bounded so
+        queued input buffers and retained outputs can't exhaust HBM on long
+        streams.
         """
         if prefetch_depth:
             from debiasing_multi_modal_tpu.data.prefetch import prefetch
 
             batches = prefetch(batches, depth=prefetch_depth)
-        # Results stay on device until the end: converting per batch would
-        # force a host sync each step and drain the device queue.
         pending = []
+        embs, preds = [], []
         cols = {k: [] for k in ("filenames", "y", "place", "group", "split")}
+
+        def drain_one():
+            e, p, b = pending.pop(0)
+            embs.append(np.asarray(e)[:b])  # host sync = backpressure
+            preds.append(np.asarray(p)[:b])
+
         for images, meta in batches:
             pending.append(self.encode_batch_async(images))
             for k in cols:
                 cols[k].append(np.asarray(meta[k]))
-        embs = [np.asarray(e)[:b] for e, _, b in pending]
-        preds = [np.asarray(p)[:b] for _, p, b in pending]
+            if len(pending) > max_in_flight:
+                drain_one()
+        while pending:
+            drain_one()
         return EmbeddingTable(
             filenames=np.concatenate(cols["filenames"]),
             y=np.concatenate(cols["y"]).astype(np.int32),

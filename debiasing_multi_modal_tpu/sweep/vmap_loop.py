@@ -339,7 +339,10 @@ def train_seeds_vmapped(
             from debiasing_multi_modal_tpu.models.adapter import zero_shot_logits
 
             logits = np.asarray(
-                zero_shot_logits(bundle.test.emb, jnp.asarray(text), cfg.zs_temperature)
+                zero_shot_logits(
+                    bundle.test.emb[: len(labels)], jnp.asarray(text),
+                    cfg.zs_temperature,
+                )
             )
             correct = logits.argmax(1) == labels
             corr = np.bincount(bundle.test.group, weights=correct, minlength=bundle.n_groups)

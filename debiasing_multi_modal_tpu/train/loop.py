@@ -635,10 +635,12 @@ def train_all_epochs(
         text = bundle.text_class if target == "class" else bundle.text_spurious
         labels = bundle.test.labels(target)
         if cfg.tl_method == "linear_probing":
-            # raw-embedding zero shot (the pure CLIP baseline, ~39% worst)
+            # raw-embedding zero shot (the pure CLIP baseline, ~39% worst);
+            # slice to the logical row count (shard_bundle may have padded)
             logits = np.asarray(
                 zero_shot_logits(
-                    bundle.test.emb, jnp.asarray(text), cfg.zs_temperature
+                    bundle.test.emb[: len(labels)], jnp.asarray(text),
+                    cfg.zs_temperature,
                 )
             )
             correct = logits.argmax(1) == labels

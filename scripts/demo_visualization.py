@@ -31,10 +31,7 @@ def main():
     import jax
 
     from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
-    from debiasing_multi_modal_tpu.models.adapter import (
-        AdapterMLP,
-        MultipleAdapterClassifier,
-    )
+    from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
     from debiasing_multi_modal_tpu.viz.analysis import adapted_embeddings, group_stats
     from debiasing_multi_modal_tpu.viz.plots import plot_splits
 
@@ -52,7 +49,6 @@ def main():
         hidden = sd["old_cls.adapter.layers.0.weight"].shape[0]
         print(f"loaded reference MultipleAdapter checkpoint (D={dim}, hidden={hidden})")
         # blended adapted features = what the trained classifier normalizes
-        module = MultipleAdapterClassifier(hidden_dim=hidden)
         mlp_old = AdapterMLP(hidden_dim=hidden)
         old_vars = {
             "params": variables["params"]["old"],

@@ -174,3 +174,32 @@ def test_shard_bundle_training_matches_unsharded():
     for a, b in zip(ref[2]["val"], got[2]["val"]):
         for k in a:
             assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
+
+
+def test_shard_bundle_linear_probing_zs_probe():
+    """Padded sharded bundles must not leak pad rows into the raw-embedding
+    zero-shot probe (regression: shapes (72,) vs (66,))."""
+    from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import (
+        bundle_from_embedding_table,
+        shard_bundle,
+        train_all_epochs,
+    )
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=130, n_val=70, n_test=66, dim=32)
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = shard_bundle(
+        bundle_from_embedding_table(table, mbs, tc, ts, tg), make_mesh((8,))
+    )
+    cfg = TrainConfig(
+        tl_method="linear_probing", epochs=2, input_dim=32, adapter_feat_dim=4,
+        batch_size=32, lr_decay_epochs=(9,),
+    )
+    (_, _, te), (zs_c, _), _ = train_all_epochs(cfg, bundle, verbose=False)
+    assert 0 <= zs_c["worst_acc"] <= 1
