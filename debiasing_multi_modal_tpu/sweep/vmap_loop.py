@@ -114,6 +114,7 @@ def train_seeds_vmapped(
         "stats": [None] * S,
         "multiple": np.zeros(S, bool),
     }
+    contrastive_rows = None  # per-seed row matrices (same shape across seeds)
     history = {"train": [[] for _ in range(S)], "val": [[] for _ in range(S)],
                "test": [[] for _ in range(S)]}
 
@@ -272,6 +273,69 @@ def train_seeds_vmapped(
                     full_mask,
                 )
             train_res = stats_to_results(statsS, weighted=False)
+        elif cfg.tl_method == "contrastive_adapter":
+            # Vmapped SupCon epoch: row construction/reshuffle consume each
+            # seed's rng in the same order as the sequential loop; row counts
+            # are seed-independent (the anchor pools depend only on the data),
+            # so the stacked [S, nb, batch_factor, row_len] tensor is regular.
+            from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
+            from debiasing_multi_modal_tpu.train.contrastive import (
+                train_contrastive_epoch,
+            )
+
+            if contrastive_rows is None:
+                from debiasing_multi_modal_tpu.data.contrastive import (
+                    construct_contrastive_rows,
+                    prepare_contrastive_points,
+                )
+
+                points = prepare_contrastive_points(
+                    bundle.train.y, bundle.train.y_pred
+                )
+                contrastive_rows = [
+                    construct_contrastive_rows(
+                        points, cfg.num_anchor, cfg.num_positive,
+                        cfg.num_negative, rngs[i],
+                    )
+                    for i in range(S)
+                ]
+            rowsS = []
+            for i in range(S):
+                r = contrastive_rows[i][rngs[i].permutation(len(contrastive_rows[i]))]
+                nb = max(len(r) // cfg.batch_factor, 1)
+                rowsS.append(r[: nb * cfg.batch_factor].reshape(nb, cfg.batch_factor, -1))
+            rowsS = jnp.asarray(np.stack(rowsS))
+            lrsj = jnp.asarray(epoch_batch_lrs(cfg, epoch, rowsS.shape[1], 1))
+            mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
+            subS = TrainState(
+                state.params["adapter"],
+                state.batch_stats["adapter"],
+                state.trace["adapter"],
+            )
+            sub_mask = full_mask["adapter"]
+
+            def one_cl(st_i, rows_i):
+                return train_contrastive_epoch(
+                    mlp, st_i, bundle.train.emb, rows_i, lrsj, sub_mask,
+                    num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
+                    num_negative=cfg.num_negative,
+                    temperature=cfg.cl_temperature,
+                    momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+                )
+
+            subS, _ = jax.vmap(one_cl)(subS, rowsS)
+            state = TrainState(
+                {**state.params, "adapter": subS.params},
+                {**state.batch_stats, "adapter": subS.batch_stats},
+                {**state.trace, "adapter": subS.trace},
+            )
+            # the sequential loop reports contrastive train metrics via the
+            # weighted zero-shot eval pass (_evaluate -> weighted=True)
+            train_res = stats_to_results(
+                vm_eval(single, state.params, state.batch_stats, bundle.train,
+                        train_labels, text_class),
+                weighted=True,
+            )
         else:
             orders = None
             if sample_weights is not None:

@@ -45,8 +45,17 @@ def bundle():
             dict(epochs_feature_learning=2, balance_val=True, add_adapter=True,
                  init_near_identity=True),
         ),
+        ("adapter_reg", {}),
+        ("adapter_reg_seq", dict(epochs_feature_learning=2)),
+        ("adapter", dict(resample_ce=True)),
+        ("linear_probing", {}),
+        (
+            "contrastive_adapter",
+            dict(num_positive=8, num_negative=8, batch_factor=2),
+        ),
     ],
-    ids=["adapter", "seq_alter_ma"],
+    ids=["adapter", "seq_alter_ma", "adapter_reg", "seq", "resample_ce",
+         "linear_probing", "contrastive"],
 )
 def test_vmapped_seeds_match_sequential(bundle, method, extra):
     cfg = TrainConfig(tl_method=method, epochs=5, **extra, **BASE)
