@@ -46,8 +46,12 @@ def _block(rows: List[Dict[str, float]], label: str) -> List[Tuple[str, Dict[str
     mat = np.asarray([[r.get(k, np.nan) for k in keys] for r in rows], np.float64)
     out = [(str(i + 1), dict(zip(keys, mat[i]))) for i in range(len(rows))]
     out.append((f"{label}_mean", dict(zip(keys, np.nanmean(mat, axis=0)))))
-    # pandas .std() default ddof=1 (the reference's aggregation)
-    std = np.nanstd(mat, axis=0, ddof=1) if len(rows) > 1 else np.zeros(len(keys))
+    # The reference appends the mean row BEFORE calling pandas .std()
+    # (final_main_iteration_wb.py:1149-1155), and std([x_1..x_n, mean],
+    # ddof=1) == std(x, ddof=0) — so every published +-std (BASELINE.md,
+    # e.g. wga 0.8625 +- 0.0160) is the population std of the seed rows.
+    # Golden-pinned in tests/test_reference_log_parity.py.
+    std = np.nanstd(mat, axis=0, ddof=0) if len(rows) > 1 else np.zeros(len(keys))
     out.append((f"{label}_std", dict(zip(keys, std))))
     return out
 

@@ -91,6 +91,18 @@ class TrainConfig:
     def is_two_phase(self) -> bool:
         return self.tl_method in ("adapter_reg_seq", "adapter_reg_seq_alter")
 
+    def use_group_prompt(self, epoch: int) -> bool:
+        """Stage-2 prompt selection for ``epoch`` (absolute, 1-based).
+
+        The alternating method keys on absolute-epoch parity (final_main.py:
+        954-968: even epochs train on the 4-way group prompts); the plain
+        sequential method follows ``use_cls_prompt_in_reg``.  Golden-tested
+        against the Train-2 prompt tags in demo/results_waterbirds.out.
+        """
+        if self.tl_method == "adapter_reg_seq_alter":
+            return (epoch % 2) == 0
+        return not self.use_cls_prompt_in_reg
+
     @property
     def warm_epochs(self) -> int:
         return 10

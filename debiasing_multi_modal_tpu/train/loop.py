@@ -459,11 +459,7 @@ def train_all_epochs(
                     # fresh optimizer on the same params (momentum reset)
                     state = init_train_state(state.params, state.batch_stats)
 
-            if cfg.tl_method == "adapter_reg_seq_alter":
-                use_group = (epoch % 2) == 0
-            else:
-                use_group = not cfg.use_cls_prompt_in_reg
-
+            use_group = cfg.use_group_prompt(epoch)
             labels2 = reg_labels_group if use_group else reg_labels_target
             text2 = text_group if use_group else text_class
             if cfg.add_adapter:

@@ -1,0 +1,382 @@
+"""Golden regression against the reference's own logged trajectories.
+
+The reference ships its full sweep logs (demo/results_waterbirds.out — 16
+configs x 3 seeds; demo/results_celeba.out — 3 configs x 2 seeds) and the
+best-run JSON (trained_model/*.json).  These tests parse the headline
+GCP-Seq-MA cell (bs1024 lr1.0 lrr1.0 bsr256, feature learning 40/100; the
+block whose aggregation lands at results_waterbirds.out:17253) and pin the
+rebuilt machinery against the logged epoch structure:
+
+- stage-switch epoch and Train-1/Train-2 phase assignment,
+- prompt-alternation parity (TrainConfig.use_group_prompt),
+- best-by-val-worst selection semantics (strict improvement -> first max),
+- mean/std aggregation math and the sweep CSV / run-name encodings,
+- the LR step-decay/warmup trajectory (closed form vs demo/util.py:70-115),
+- the results-JSON schema incl. the reference's per-epoch Val-slot bug
+  (final_main.py:1055) that PARITY.md deviation 1 deliberately fixes.
+"""
+
+import ast
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+WB_LOG = os.path.join(REF, "demo", "results_waterbirds.out")
+CA_LOG = os.path.join(REF, "demo", "results_celeba.out")
+TRAINED_JSON = os.path.join(
+    REF, "trained_model",
+    "im_clip_t_clip_class_tl_adapter_reg_seq_alter_t_class_lr_1.0_bs_1024_"
+    "lrr1.0_bsr_256_MA+rn.json",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(WB_LOG), reason="reference logs unavailable"
+)
+
+_EPOCH = re.compile(r"^--- Epoch (\d+) ---")
+_TRAIN = re.compile(r"^Train-(\d) \(([^)]+)\)((?:\([^)]*\))*): (\{.*\})$")
+_VAL = re.compile(r"^Val\(class\)(?:\([^)]*\))*: (\{.*\})$")
+_TEST = re.compile(r"^Test\(class\)(?:\([^)]*\))*: (\{.*\})$")
+_BEST_EPOCH = re.compile(r"^best epoch : (\d+)")
+_BEST_ACC = re.compile(r"^best (training|validation|test) accuracy on \[class\]: (\{.*\})$")
+_SAVE = re.compile(r"^Save to:\s+(\S+\.csv)")
+_ITER = re.compile(r"Iteration : (\d+)/(\d+)")
+_SEEDS = re.compile(r"^random seeds :\s+(\[.*\])")
+
+
+def parse_cells(path):
+    """Parse every sweep cell.  A cell ends at its 'Save to:' line; a new one
+    starts at the next 'Iteration :' marker (the WB log re-prints 'random
+    seeds' per cell, the CA log prints it once for the whole grid)."""
+    cells = []
+    seeds = None
+    cell = None
+    it = None
+    epoch = None
+    header_cols = None
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            m = _SEEDS.match(line)
+            if m:
+                seeds = ast.literal_eval(m.group(1))
+                continue
+            m = _ITER.search(line)
+            if m:
+                if cell is None:
+                    cell = {"seeds": seeds, "iterations": [], "csv": None,
+                            "agg": {}}
+                    it, epoch, header_cols = None, None, None
+                it = {"epochs": {}, "best": {}}
+                cell["iterations"].append(it)
+                continue
+            if cell is None:
+                continue
+            m = _EPOCH.match(line)
+            if m:
+                epoch = int(m.group(1))
+                it["epochs"][epoch] = {}
+                continue
+            m = _TRAIN.match(line)
+            if m and it is not None and epoch is not None:
+                rec = it["epochs"][epoch]
+                rec["phase"] = int(m.group(1))
+                rec["prompt"] = (
+                    "group" if "Group prompt" in m.group(3)
+                    else "class" if "Class prompt" in m.group(3)
+                    else None
+                )
+                rec["train"] = ast.literal_eval(m.group(4))
+                continue
+            m = _VAL.match(line)
+            if m and epoch is not None:
+                it["epochs"][epoch]["val"] = ast.literal_eval(m.group(1))
+                continue
+            m = _TEST.match(line)
+            if m and epoch is not None:
+                it["epochs"][epoch]["test"] = ast.literal_eval(m.group(1))
+                continue
+            m = _BEST_EPOCH.match(line)
+            if m:
+                it["best"]["epoch"] = int(m.group(1))
+                continue
+            m = _BEST_ACC.match(line)
+            if m:
+                it["best"][m.group(1)] = ast.literal_eval(m.group(2))
+                continue
+            if line.startswith("Final Results:"):
+                toks = [t for t in line.split()[2:] if t != "..."]
+                header_cols = toks
+                continue
+            if header_cols and re.match(r"^(test|zs_spu|tr|val|zs_tg)_(mean|std)\s", line):
+                toks = line.split()
+                vals = [float(t) for t in toks[1:] if t != "..." and t != "NaN"]
+                cols = [c for c in header_cols]
+                if len(vals) == len(cols):
+                    cell["agg"][toks[0]] = dict(zip(cols, vals))
+                continue
+            m = _SAVE.match(line)
+            if m:
+                cell["csv"] = os.path.basename(m.group(1))
+                cells.append(cell)
+                cell = None
+                continue
+    assert cells and all(c["csv"] for c in cells), "incomplete cells in log"
+    return cells
+
+
+HEADLINE_CSV = (
+    "ds_waterbirds_tl_adapter_reg_seq_alter_bs_1024_lr_1.0_lrr1.0_"
+    "bsr256_MA+rn.csv"
+)
+
+
+@pytest.fixture(scope="module")
+def wb_cells():
+    return parse_cells(WB_LOG)
+
+
+@pytest.fixture(scope="module")
+def wb_cell(wb_cells):
+    (cell,) = [c for c in wb_cells if c["csv"] == HEADLINE_CSV]
+    return cell
+
+
+@pytest.fixture(scope="module")
+def wb_cfg():
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    # run_multiple/run_final_main_iteration_wb.sh best cell: epochs 100,
+    # feature learning 40, decay '90,95' x0.1, --warm_reg --add_adapter
+    return TrainConfig(
+        dataset="waterbirds", tl_method="adapter_reg_seq_alter",
+        epochs=100, epochs_feature_learning=40,
+        batch_size=1024, batch_size_reg=256,
+        learning_rate=1.0, learning_rate_reg=1.0,
+        lr_decay_epochs=(90, 95), lr_decay_rate=0.1,
+        warm_reg=True, add_adapter=True,
+    )
+
+
+def test_grid_shape(wb_cells):
+    assert len(wb_cells) == 16  # bs {512,1024} x bsr {64,128,256,512} x lr {1,10}
+    for cell in wb_cells:
+        assert cell["seeds"] == [42, 32, 22]
+        assert len(cell["iterations"]) == 3
+        for it in cell["iterations"]:
+            assert sorted(it["epochs"]) == list(range(1, 101))
+
+
+def test_stage_switch_and_phase_assignment(wb_cells, wb_cfg):
+    """Train-1 for epochs 1..40, Train-2 from 41 — our loop's phase rule
+    (epoch > epochs_feature_learning) must reproduce the logged assignment
+    in every cell of the grid."""
+    feat = wb_cfg.epochs_feature_learning
+    for cell in wb_cells:
+        for it in cell["iterations"]:
+            for e, rec in it["epochs"].items():
+                expected = 2 if (wb_cfg.is_two_phase and e > feat) else 1
+                assert rec["phase"] == expected, (cell["csv"], e)
+
+
+def test_prompt_alternation_parity(wb_cells, wb_cfg):
+    """Logged Train-2 tags: even epochs = Group prompt, odd = Class prompt —
+    exactly TrainConfig.use_group_prompt (final_main.py:954-968)."""
+    for cell in wb_cells:
+        for it in cell["iterations"]:
+            for e, rec in it["epochs"].items():
+                if rec["phase"] != 2:
+                    assert rec["prompt"] is None
+                    continue
+                assert rec["prompt"] == (
+                    "group" if wb_cfg.use_group_prompt(e) else "class"
+                ), (cell["csv"], e, rec["prompt"])
+
+
+def test_best_epoch_selection_semantics(wb_cells):
+    """The loop's strict-improvement update (worst > best, i.e. FIRST max)
+    replayed over the logged val trajectories must land on the logged best
+    epoch, and the logged best dicts must equal that epoch's records —
+    across all 48 runs (16 cells x 3 seeds)."""
+    for cell in wb_cells:
+        for it in cell["iterations"]:
+            best_acc, best_epoch = 0.0, 0
+            for e in sorted(it["epochs"]):
+                worst = it["epochs"][e]["val"]["worst_acc"]
+                if worst > best_acc:
+                    best_acc, best_epoch = worst, e
+            assert best_epoch == it["best"]["epoch"], (cell["csv"], it["best"])
+            rec = it["epochs"][best_epoch]
+            assert it["best"]["validation"] == rec["val"]
+            assert it["best"]["test"] == rec["test"]
+            assert it["best"]["training"] == rec["train"]
+
+
+def test_cell_filenames_reproduce_entire_grid(wb_cells, wb_cfg):
+    """Our cell_filename over the sh-script grid (bs -> bsr -> lr nesting,
+    lrr = lr) reproduces all 16 logged CSV names in order."""
+    from debiasing_multi_modal_tpu.sweep.runner import cell_filename
+
+    logged = [c["csv"] for c in wb_cells]
+    got = [
+        cell_filename(
+            wb_cfg.replace(
+                batch_size=bs, batch_size_reg=bsr,
+                learning_rate=lr, learning_rate_reg=lr,
+            )
+        )
+        for bs in (512, 1024)
+        for bsr in (64, 128, 256, 512)
+        for lr in (1.0, 10.0)
+    ]
+    assert got == logged
+
+
+def test_run_name_matches_trained_artifact(wb_cfg):
+    from debiasing_multi_modal_tpu.train.loop import encode_run_name
+
+    assert encode_run_name(wb_cfg) == os.path.splitext(
+        os.path.basename(TRAINED_JSON)
+    )[0]
+
+
+def test_aggregation_matches_logged_mean_std(wb_cell):
+    """Recompute mean/std from the 3 logged per-seed best rows with our
+    sweep aggregator and compare to the reference's pandas output
+    (mean/std ddof=1, rounded to 4 decimals)."""
+    from debiasing_multi_modal_tpu.sweep.runner import _block
+
+    te = [it["best"]["test"] for it in wb_cell["iterations"]]
+    rows = dict(_block(te, "test"))
+    for name in ("test_mean", "test_std"):
+        logged = wb_cell["agg"].get(name)
+        assert logged, wb_cell["agg"].keys()
+        for col, val in logged.items():
+            assert round(rows[name][col], 4) == pytest.approx(val, abs=5e-5), (
+                name, col
+            )
+    # the headline number (BASELINE.md): wga 0.8625 +- 0.0160
+    assert round(rows["test_mean"]["worst_acc"], 4) == 0.8625
+    assert round(rows["test_std"]["worst_acc"], 4) == 0.0160
+
+
+def test_lr_trajectory_closed_form(wb_cfg):
+    """Step-decay + reg-warmup trajectory for the logged config pinned to
+    hand-computed values of demo/util.py:70-115 semantics."""
+    from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
+
+    nb = 2
+    # phase 1: no warmup flag, lr 1.0 flat through epoch 40
+    for e in (1, 20, 40):
+        assert epoch_batch_lrs(wb_cfg, e, nb, 1).tolist() == [1.0, 1.0]
+    # phase 2 warmup: p = (batch + (rel_epoch-1)*nb) / (warm_epochs_reg*nb),
+    # lr = lrr/100 + p*(lrr - lrr/100); rel_epoch = epoch - 40, warm 10
+    got = epoch_batch_lrs(wb_cfg, 41, nb, 2)
+    np.testing.assert_allclose(got, [0.01, 0.01 + (1 / 20) * 0.99], rtol=1e-6)
+    got = epoch_batch_lrs(wb_cfg, 50, nb, 2)
+    np.testing.assert_allclose(
+        got, [0.01 + (18 / 20) * 0.99, 0.01 + (19 / 20) * 0.99], rtol=1e-6
+    )
+    # post-warmup step decay on the ABSOLUTE epoch: '90,95' x 0.1
+    for e, want in ((51, 1.0), (90, 1.0), (91, 0.1), (95, 0.1), (96, 0.01)):
+        np.testing.assert_allclose(
+            epoch_batch_lrs(wb_cfg, e, nb, 2), [want, want], rtol=1e-6
+        )
+
+
+def test_celeba_cell_structure():
+    """CelebA best cell (bs1024 lr0.1 bsr4 balval MA+rn): 65 epochs, switch
+    at 41, same alternation, reference CSV name."""
+    from debiasing_multi_modal_tpu.sweep.runner import cell_filename
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    cells = parse_cells(CA_LOG)
+    assert [len(c["iterations"]) for c in cells] == [2, 2, 2]
+    cell = cells[0]  # bsr4, the best CelebA config (BASELINE.md)
+    cfg = TrainConfig(
+        dataset="celeba", tl_method="adapter_reg_seq_alter",
+        epochs=65, epochs_feature_learning=40,
+        batch_size=1024, batch_size_reg=4,
+        learning_rate=0.1, learning_rate_reg=1.0,
+        lr_decay_epochs=(62, 64), lr_decay_rate=0.1,
+        warm_reg=True, add_adapter=True, balance_val=True,
+    )
+    assert cell_filename(cfg) == cell["csv"]
+    for it in cell["iterations"]:
+        assert sorted(it["epochs"]) == list(range(1, 66))
+        for e, rec in it["epochs"].items():
+            assert rec["phase"] == (2 if e > 40 else 1)
+            if rec["phase"] == 2:
+                assert rec["prompt"] == (
+                    "group" if cfg.use_group_prompt(e) else "class"
+                )
+
+
+# ---------------------------------------------------------- trained JSON --
+
+def test_trained_json_best_epoch_bookkeeping():
+    d = json.load(open(TRAINED_JSON))
+    assert set(d) == {
+        "Final Results (best epoch)", "Feature Quality (using zs)",
+        "All Results (all epoch)",
+    }
+    (best_key,) = d["Final Results (best epoch)"].keys()
+    best_epoch = int(best_key.split()[1])
+    assert best_epoch == 47  # BASELINE.md best single run
+    allr = d["All Results (all epoch)"]
+    assert sorted(int(k.split()[1]) for k in allr) == list(range(1, 101))
+    final = d["Final Results (best epoch)"][best_key]
+    # Train/Test of the best block match the per-epoch record
+    assert final["Test"] == allr[best_key]["Test"]
+    assert final["Train"] == allr[best_key]["Train"]
+    # the reference's per-epoch Val slot actually stores TEST accs
+    # (final_main.py:1055) — the bug PARITY.md deviation 1 fixes; pin it so
+    # the deviation stays an honest description of the artifact
+    mismatched = [k for k in allr if allr[k]["Val"] != allr[k]["Test"]]
+    assert mismatched == []
+    assert final["Val"] != allr[best_key]["Val"]  # genuine val differs
+
+
+def test_our_results_json_schema_and_fixed_val_slot(tmp_path):
+    """Our writer emits the reference schema; the per-epoch Val slot holds
+    genuine validation accs (deliberate deviation, PARITY.md #1)."""
+    from debiasing_multi_modal_tpu.data.synthetic import (
+        SyntheticSpec, make_synthetic_dataset,
+    )
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import (
+        bundle_from_embedding_table, encode_run_name, train_all_epochs,
+    )
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=128, n_val=64, n_test=64, dim=32)
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        dataset="waterbirds", input_dim=32, adapter_feat_dim=8,
+        batch_size=64, batch_size_reg=16, learning_rate=0.5,
+        learning_rate_reg=0.5, lr_decay_epochs=(100,), save_results=True,
+    )
+    train_all_epochs(cfg, bundle, verbose=False, results_dir=str(tmp_path))
+    path = tmp_path / (encode_run_name(cfg) + ".json")
+    d = json.load(open(path))
+    assert set(d) == {
+        "Final Results (best epoch)", "Feature Quality (using zs)",
+        "All Results (all epoch)",
+    }
+    allr = d["All Results (all epoch)"]
+    assert sorted(allr) == sorted(f"Epoch {e}" for e in range(1, 5))
+    for rec in allr.values():
+        assert set(rec) == {"Train", "Val", "Test"}
+    assert set(d["Feature Quality (using zs)"]) == {"class", "spurious"}
+    # deviation 1: the Val slot is genuine validation, not a copy of Test
+    assert any(allr[k]["Val"] != allr[k]["Test"] for k in allr)
