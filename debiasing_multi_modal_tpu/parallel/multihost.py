@@ -5,9 +5,11 @@ multi-host pod slice each process sees only its local chips and must (a)
 initialize the distributed runtime and (b) assemble globally-sharded arrays
 from process-local shards.  These helpers wrap the standard JAX recipe.
 
-Untestable in this environment (one chip, one host) — kept deliberately thin
-over stable public APIs, with the single-host paths exercised by the test
-suite (``global_batch`` degenerates to ``device_put`` under one process).
+Tested for real: tests/test_multihost.py spawns two OS processes against a
+localhost coordinator (one CPU device each) and checks global-batch assembly
+order and a cross-process reduction — the actual pod recipe.  The
+single-process degenerate path (``global_batch`` -> ``device_put``) is
+exercised by the rest of the suite.
 """
 
 from __future__ import annotations

@@ -1,0 +1,61 @@
+"""Worker process for the real 2-process multihost test.
+
+Launched twice by tests/test_multihost.py with distinct process ids.  Each
+process gets ONE local CPU device; together they form a 2-device global mesh
+over the jax.distributed runtime (localhost coordinator) — the same recipe a
+TPU pod slice uses (one process per host, ICI-global mesh).
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from debiasing_multi_modal_tpu.parallel import multihost
+
+    multihost.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == nproc  # global view
+    assert len(jax.local_devices()) == 1
+
+    mesh = multihost.global_mesh()
+
+    # ---- global_batch assembles per-process rows in process order
+    base = np.arange(12, dtype=np.float32).reshape(4, 3)
+    local = base + 100.0 * pid
+    g = multihost.global_batch(local, mesh)
+    assert g.shape == (4 * nproc, 3), g.shape
+
+    # replicate to every process and check the concatenation order/content
+    replicate = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    full = np.asarray(replicate(g))
+    expected = np.concatenate([base + 100.0 * p for p in range(nproc)])
+    np.testing.assert_allclose(full, expected)
+
+    # ---- a psum across the data axis matches the host-side global sum
+    @jax.jit
+    def global_sum(x):
+        return jnp.sum(x)
+
+    got = float(global_sum(g))
+    assert abs(got - float(expected.sum())) < 1e-3, (got, expected.sum())
+
+    print(f"OK {pid} sum={got}")
+
+
+if __name__ == "__main__":
+    main()
