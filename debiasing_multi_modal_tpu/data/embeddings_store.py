@@ -189,10 +189,23 @@ def load_embeddings(
             )
     try:
         from debiasing_multi_modal_tpu.native import ebdjson
-
-        return ebdjson.load_embeddings_json(path, dataset)
     except Exception:
+        ebdjson = None  # accelerator unavailable (no toolchain) — pure Python
+    native_err = None
+    if ebdjson is not None:
+        try:
+            return ebdjson.load_embeddings_json(path, dataset)
+        except Exception as e:
+            native_err = e  # keep the precise C++ diagnostic (byte offset etc.)
+    try:
         return _load_json_python(path, dataset)
+    except Exception as py_err:
+        if native_err is not None:
+            raise ValueError(
+                f"failed to parse embedding JSON {path!r} — "
+                f"native parser: {native_err}; python parser: {py_err!r}"
+            ) from py_err
+        raise
 
 
 # ------------------------------------------------------------------- text IO --

@@ -66,6 +66,18 @@ def test_native_parser_error_on_garbage(tmp_path):
         ebdjson.load_embeddings_json(str(bad), "waterbirds")
 
 
+def test_store_surfaces_native_diagnostic_on_malformed_input(tmp_path):
+    """When BOTH parsers reject a malformed clip.json, load_embeddings must
+    report the precise C++ diagnostic alongside the Python error instead of
+    masking it (VERDICT round-1 weak #7 / docs/STATUS gap 6)."""
+    from debiasing_multi_modal_tpu.data.embeddings_store import load_embeddings
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"a.jpg": {"y": "0", "image_embedding": [1.0, oops]}}')
+    with pytest.raises(ValueError, match="native parser: .*ebdjson"):
+        load_embeddings(str(bad), dataset="waterbirds")
+
+
 def test_native_parser_faster_than_python(json_path):
     from debiasing_multi_modal_tpu.native import ebdjson
 
