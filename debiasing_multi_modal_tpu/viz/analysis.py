@@ -3,16 +3,23 @@
 - ``adapted_embeddings``: run cached CLIP embeddings through a trained
   adapter classifier (the VisHandler "extract activations" path,
   visualizer.py:100-134) — batched and jitted, no Python loop.
-- ``group_stats``: per-group mean vector, mean-vector norm, and mean pairwise
-  distance (``GetGroupWiseStatEbd``, visualizer.py:657-690).
-- ``project_2d``: 2-D projection for plotting — UMAP when ``umap-learn`` is
-  installed (the reference default, seeded), else sklearn MDS (the
-  reference's ``plot_mds`` alternative) or PCA.
+- ``group_stats`` / ``group_mean_vectors``: per-group mean vector, mean-vector
+  norm, mean pairwise distance, with the full-dataset row first
+  (``GetGroupWiseStatEbd``, visualizer.py:657-690).
+- ``project`` / ``project_2d``: low-dim projection for plotting — umap-learn
+  when installed (the reference default, seeded), else the vendored
+  ``viz.umap_lite`` implementation; sklearn MDS (the reference's ``plot_mds``
+  alternative) and PCA selectable.
+- ``joint_projection``: the ``VisRepAll`` semantics (visualizer.py:182-262 +
+  plot_umap_all:411-505): ONE projection fitted over train+val+test jointly,
+  with nearest-image-averaged text-prompt anchors and per-split
+  [full + group] centroid rows appended to the pool before fitting, then
+  sliced back out — so every panel lives in the same reduced space.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -68,6 +75,42 @@ def group_stats(embeddings: np.ndarray, groups: np.ndarray, n_groups: int = 4,
     return stats
 
 
+def project(
+    embeddings: np.ndarray,
+    method: str = "auto",
+    seed: int = 42,
+    n_neighbors: int = 15,
+    n_components: int = 2,
+) -> np.ndarray:
+    """[N, D] -> [N, n_components] for plotting."""
+    if method == "auto":
+        method = "umap"
+    if method == "umap":
+        try:
+            from umap import UMAP  # umap-learn, the reference's projector
+        except ImportError:
+            from debiasing_multi_modal_tpu.viz.umap_lite import UMAP
+
+        return UMAP(
+            n_components=n_components, random_state=seed,
+            n_neighbors=min(n_neighbors, max(len(embeddings) - 1, 2)),
+        ).fit_transform(embeddings)
+    if method == "mds":
+        from sklearn.manifold import MDS
+
+        return MDS(
+            n_components=n_components, random_state=seed,
+            normalized_stress="auto",
+        ).fit_transform(embeddings)
+    if method == "pca":
+        from sklearn.decomposition import PCA
+
+        return PCA(n_components=n_components, random_state=seed).fit_transform(
+            embeddings
+        )
+    raise ValueError(f"unknown projection method {method!r}")
+
+
 def project_2d(
     embeddings: np.ndarray,
     method: str = "auto",
@@ -75,30 +118,7 @@ def project_2d(
     n_neighbors: int = 15,
 ) -> np.ndarray:
     """[N, D] -> [N, 2] for plotting."""
-    if method == "auto":
-        try:
-            import umap  # noqa: F401
-
-            method = "umap"
-        except ImportError:
-            method = "pca"
-    if method == "umap":
-        import umap
-
-        return umap.UMAP(
-            n_components=2, random_state=seed, n_neighbors=n_neighbors
-        ).fit_transform(embeddings)
-    if method == "mds":
-        from sklearn.manifold import MDS
-
-        return MDS(n_components=2, random_state=seed, normalized_stress="auto").fit_transform(
-            embeddings
-        )
-    if method == "pca":
-        from sklearn.decomposition import PCA
-
-        return PCA(n_components=2, random_state=seed).fit_transform(embeddings)
-    raise ValueError(f"unknown projection method {method!r}")
+    return project(embeddings, method, seed, n_neighbors, n_components=2)
 
 
 def nearest_sample(embeddings: np.ndarray, query: np.ndarray) -> int:
@@ -106,3 +126,84 @@ def nearest_sample(embeddings: np.ndarray, query: np.ndarray) -> int:
     text prompts in image space via the nearest image, visualizer.py:19-27)."""
     d = np.linalg.norm(embeddings - query[None, :], axis=1)
     return int(np.argmin(d))
+
+
+def nearest_averaged(embeddings: np.ndarray, query: np.ndarray, k: int = 10) -> np.ndarray:
+    """Mean of the top-k cosine-nearest image embeddings to ``query`` — the
+    reference's text-prompt anchoring (find_closest_sample, visualizer.py:
+    19-27 + plot_umap_all:446-458: text features are replaced by the average
+    of their nearest images before entering the projection pool)."""
+    e = embeddings / np.linalg.norm(embeddings, axis=1, keepdims=True)
+    q = query / np.linalg.norm(query)
+    sims = e @ q
+    top = np.argsort(sims)[::-1][: min(k, len(embeddings))]
+    return embeddings[top].mean(axis=0)
+
+
+def group_mean_vectors(
+    embeddings: np.ndarray, groups: np.ndarray, n_groups: int = 4
+) -> np.ndarray:
+    """[n_groups + 1, D]: the full-dataset mean first, then each group's mean
+    (GetGroupWiseStatEbd's mean_vector dict ordering, visualizer.py:666-686)."""
+    rows = [embeddings.mean(axis=0)]
+    for g in range(n_groups):
+        m = groups == g
+        rows.append(embeddings[m].mean(axis=0) if m.any() else rows[0])
+    return np.stack(rows)
+
+
+def joint_projection(
+    split_embeddings: Dict[str, np.ndarray],
+    split_groups: Optional[Dict[str, np.ndarray]] = None,
+    text_embeddings: Optional[np.ndarray] = None,  # [C, D]
+    method: str = "auto",
+    seed: int = 42,
+    num_nn_text: int = 10,
+    n_components: int = 2,
+    n_groups: int = 4,
+):
+    """Fit ONE projection over all splits jointly (VisRepAll semantics).
+
+    The pool is [all split rows | nearest-averaged text anchors | per-split
+    (full + group) centroid rows]; one fit_transform; coordinates sliced back
+    out (plot_umap_all:428-505).  Returns a dict with:
+
+    - ``splits``: {name: [N_s, d] coords},
+    - ``text``: [C, d] coords or None,
+    - ``group_means``: {name: [n_groups+1, d] coords} (row 0 = full mean)
+      or None when ``split_groups`` is not given.
+    """
+    names = list(split_embeddings)
+    blocks = [np.asarray(split_embeddings[n], np.float32) for n in names]
+    pool = np.concatenate(blocks, axis=0)
+    sizes = [len(b) for b in blocks]
+
+    extra = []
+    n_text = 0
+    if text_embeddings is not None:
+        anchors = np.stack(
+            [nearest_averaged(pool, t, num_nn_text) for t in text_embeddings]
+        )
+        extra.append(anchors)
+        n_text = len(anchors)
+    if split_groups is not None:
+        for n, b in zip(names, blocks):
+            extra.append(group_mean_vectors(b, np.asarray(split_groups[n]), n_groups))
+    full = np.concatenate([pool] + extra, axis=0) if extra else pool
+
+    coords = project(full, method=method, seed=seed, n_components=n_components)
+
+    out = {"splits": {}, "text": None, "group_means": None}
+    off = 0
+    for n, s in zip(names, sizes):
+        out["splits"][n] = coords[off : off + s]
+        off += s
+    if n_text:
+        out["text"] = coords[off : off + n_text]
+        off += n_text
+    if split_groups is not None:
+        out["group_means"] = {}
+        for n in names:
+            out["group_means"][n] = coords[off : off + n_groups + 1]
+            off += n_groups + 1
+    return out

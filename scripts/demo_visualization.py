@@ -109,6 +109,51 @@ def main():
                 method="pca", out_path=path)
     print("wrote", path)
 
+    # ---- reference-style VisRepAll figure (demo/visualizer.py:182-262 +
+    # plot_umap_all:411-638): ONE joint umap projection over train/val/test,
+    # text-prompt anchors, group-centroid stars, per-split stat tables.
+    from debiasing_multi_modal_tpu.templates import get_prompts
+    from debiasing_multi_modal_tpu.viz.plots import (
+        plot_splits_joint, split_stats_table,
+    )
+
+    adapted_n = norm_rows(adapted)
+    prompts = get_prompts("waterbirds")
+    text_names = [f"a photo of a {c}." for c in prompts.classes]
+    embs3, labels3, tables3 = {}, {}, {}
+    for name, sid in (("train", 0), ("val", 1), ("test", 2)):
+        idx = np.where(table.split == sid)[0]
+        embs3[name] = adapted_n[idx]
+        labels3[name] = {
+            "group": table.group[idx], "target": table.y[idx],
+            "spurious": table.place[idx], "prediction": table.y_pred[idx],
+        }
+        correct = (table.y_pred[idx] == table.y[idx]).astype(np.float64)
+        accs = {"mean_acc": float(correct.mean())}
+        worst = 1.0
+        for g in range(4):
+            m = table.group[idx] == g
+            a = float(correct[m].mean()) if m.any() else float("nan")
+            accs[f"acc_{g // 2}_{g % 2}"] = a
+            worst = min(worst, a) if a == a else worst
+        accs["worst_acc"] = worst
+        tables3[name] = split_stats_table(embs3[name], table.group[idx], accs)
+
+    tag = "adapter_reg_seq_alter" if use_reference else "untrained"
+    for dim_out, fname in ((2, "visrepall_2d.png"), (3, "visrepall_3d.png")):
+        path = os.path.join(args.out, fname)
+        fig, _ = plot_splits_joint(
+            embs3, labels3, dataset="waterbirds", color_by="group",
+            method="umap", text_embeddings=tc.T, text_names=text_names,
+            stats_tables=tables3 if dim_out == 2 else None, out_path=path,
+            n_components=dim_out,
+            title=f"([{tag}] Representation (10 near.))",
+        )
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        print("wrote", path)
+
 
 if __name__ == "__main__":
     main()

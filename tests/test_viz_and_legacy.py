@@ -89,6 +89,90 @@ def test_plot_splits_renders(tmp_path, synth):
     plt.close(fig)
 
 
+def test_umap_runs_without_umap_learn(synth):
+    """The umap method must work in this environment (umap-learn absent) via
+    the vendored viz.umap_lite, and preserve cluster structure."""
+    rng = np.random.default_rng(0)
+    X = np.concatenate(
+        [rng.standard_normal((60, 16)) + 6.0 * np.eye(16)[c] for c in range(3)]
+    )
+    pts = project_2d(X, method="umap", seed=42)
+    assert pts.shape == (180, 2)
+    labels = np.repeat(np.arange(3), 60)
+    cents = np.stack([pts[labels == c].mean(0) for c in range(3)])
+    pred = np.argmin(np.linalg.norm(pts[:, None] - cents[None], axis=2), axis=1)
+    assert (pred == labels).mean() > 0.9
+
+
+def test_joint_projection_shared_space(synth):
+    from debiasing_multi_modal_tpu.viz.analysis import joint_projection
+
+    meta, table, tc = synth
+    embs, grps = {}, {}
+    for name, sid in (("train", 0), ("val", 1), ("test", 2)):
+        idx = np.where(table.split == sid)[0]
+        embs[name] = table.embeddings[idx]
+        grps[name] = table.group[idx]
+    proj = joint_projection(
+        embs, split_groups=grps, text_embeddings=tc.T, method="pca", seed=42
+    )
+    for name in embs:
+        assert proj["splits"][name].shape == (len(embs[name]), 2)
+        assert proj["group_means"][name].shape == (5, 2)  # full + 4 groups
+    assert proj["text"].shape == (tc.shape[1], 2)
+    # shared space: refitting PCA on the same pool reproduces the train slice
+    # (i.e. the split coords come from ONE joint fit, not per-split fits)
+    from debiasing_multi_modal_tpu.viz.analysis import project_2d as p2
+
+    solo = p2(embs["train"], method="pca", seed=42)
+    assert not np.allclose(solo, proj["splits"]["train"])
+
+
+def test_plot_splits_joint_renders_2d_and_3d(tmp_path, synth):
+    from debiasing_multi_modal_tpu.viz.plots import (
+        plot_splits_joint, split_stats_table,
+    )
+
+    meta, table, tc = synth
+    embs, labels, tables = {}, {}, {}
+    for name, sid in (("train", 0), ("val", 1), ("test", 2)):
+        idx = np.where(table.split == sid)[0]
+        embs[name] = table.embeddings[idx]
+        labels[name] = {
+            "group": table.group[idx], "target": table.y[idx],
+            "spurious": table.place[idx], "prediction": table.y_pred[idx],
+        }
+        tables[name] = split_stats_table(
+            embs[name], table.group[idx],
+            group_accs={"mean_acc": 0.9, "worst_acc": 0.5, "acc_0_0": 1.0,
+                        "acc_0_1": 0.5, "acc_1_0": 0.8, "acc_1_1": 0.9},
+        )
+    assert list(tables["train"]) == ["Acc.", "Div.", "Centr. Norm."]
+    assert len(tables["train"]["Div."]) == 6 and tables["train"]["Div."][1] == 0.0
+
+    import matplotlib.pyplot as plt
+
+    out2 = str(tmp_path / "joint2d.png")
+    fig, proj = plot_splits_joint(
+        embs, labels, dataset="waterbirds", color_by="group", method="pca",
+        text_embeddings=tc.T,
+        text_names=["a photo of a landbird.", "a photo of a waterbird."],
+        stats_tables=tables, out_path=out2, title="joint 2d",
+    )
+    assert os.path.isfile(out2) and os.path.getsize(out2) > 1000
+    plt.close(fig)
+
+    out3 = str(tmp_path / "joint3d.png")
+    fig, proj = plot_splits_joint(
+        embs, labels, dataset="waterbirds", color_by="group", method="pca",
+        text_embeddings=tc.T, text_names=["landbird", "waterbird"],
+        out_path=out3, n_components=3,
+    )
+    assert proj["splits"]["train"].shape[1] == 3
+    assert os.path.isfile(out3) and os.path.getsize(out3) > 1000
+    plt.close(fig)
+
+
 def test_plain_resnet50_forward():
     model = PlainResNet(layers=(1, 1, 1, 1), width=8)
     x = jnp.zeros((2, 64, 64, 3))
