@@ -36,12 +36,13 @@ def main():
     dtype = jnp.bfloat16 if on_accel else jnp.float32
 
     backbone = os.environ.get("BENCH_BACKBONE", "RN50")
+    fuse_bn = os.environ.get("BENCH_FUSE_BN", "0") == "1"
     if on_accel:
         # f32 params + bf16 compute: measured 2.3x faster than bf16 params
         # on v5e (XLA picks a better conv algorithm), and it is the
         # accuracy-policy dtype anyway.
-        model = create_clip(backbone, dtype=dtype)
-        batch = 512
+        model = create_clip(backbone, dtype=dtype, fuse_bn=fuse_bn)
+        batch = int(os.environ.get("BENCH_BATCH", "512"))
         res_in = 256  # exercise the on-device resize+crop path
         iters, warmup = 20, 2
         stage_packed = True  # one-buffer param staging (slow tunnel links)
@@ -122,6 +123,34 @@ def main():
 
     imgs_per_sec = batch * iters / dt
     per_chip = imgs_per_sec / n_chips
+
+    # ---- end-to-end host-fed extraction (VERDICT r1 item 3): drive the real
+    # ExtractionRunner.run() pipeline — host uint8 stream, prefetch thread,
+    # H2D staging, jitted step, bounded in-flight dispatch, result drain into
+    # the columnar table.  On this bench host the TPU sits behind a slow
+    # shared tunnel, so this number is dominated by host<->device transfer
+    # (batch x 256x256x3 uint8 up + [batch, D] f32 down per step); on a real
+    # TPU host it approaches the kernel number.  Reference comparison point:
+    # the per-sample hot loop at clip_inference.py:202-257.
+    # bound the streamed volume: the tunnel's H2D bandwidth is low/variable,
+    # and the e2e number is a pipeline-shape measurement, not a soak test
+    n_e2e = max(2, 4096 // batch) if on_accel else 2
+    zeros = np.zeros(batch, np.int32)
+    meta = {
+        "filenames": np.char.add("img", np.arange(batch).astype(str)),
+        "y": zeros, "place": zeros, "group": zeros, "split": zeros,
+    }
+
+    def stream():
+        for _ in range(n_e2e):
+            yield images, meta
+
+    t0 = time.perf_counter()
+    table = runner.run(stream(), prefetch_depth=2)
+    dt_e2e = time.perf_counter() - t0
+    assert len(table) == batch * n_e2e
+    e2e_per_chip = batch * n_e2e / dt_e2e / n_chips
+
     print(
         json.dumps(
             {
@@ -135,6 +164,9 @@ def main():
                 "vs_baseline": (
                     round(per_chip / 5000.0, 3) if backbone == "RN50" else None
                 ),
+                "e2e_host_fed_imgs_per_sec_per_chip": round(e2e_per_chip, 1),
+                "e2e_batches": n_e2e,
+                "batch": batch,
             }
         )
     )

@@ -72,10 +72,14 @@ def _attn_kernel(
     q_len: int,
     causal: bool,
 ):
-    """One (batch*head, q-block) program: stream kv blocks with online softmax."""
+    """One (packed-heads, q-block) program: G merged batch*head rows stream
+    their kv blocks together with online softmax.  Head-packing (G > 1)
+    exists for the many-tiny-heads regime (CLIP: 50-token, 64-dim heads)
+    where a per-head grid degenerates into thousands of sequential cells —
+    each cell then does G batched MXU contractions instead of one."""
     iq = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
-    bq, d = q.shape
+    q = q_ref[...].astype(jnp.float32) * scale  # [G, BQ, D]
+    g, bq, d = q.shape
     skv_pad = k_ref.shape[1]
     n_kv = skv_pad // BLOCK_KV
 
@@ -83,31 +87,33 @@ def _attn_kernel(
 
     def body(jkv, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
-        v = v_ref[0, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BQ, BKV]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, BQ, BKV]
         kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
             jnp.int32, (bq, BLOCK_KV), 1
         )
         valid = kv_pos < kv_len
         if causal:
             valid = jnp.logical_and(valid, kv_pos <= q_pos)
-        s = jnp.where(valid, s, _NEG_INF)
+        s = jnp.where(valid[None], s, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((g, bq, d), jnp.float32)
+    m0 = jnp.full((g, bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, bq, 1), jnp.float32)
 
     if causal:
         # Only stream kv blocks at or below this q block's diagonal.
@@ -119,7 +125,17 @@ def _attn_kernel(
     acc, m, l = jax.lax.fori_loop(0, n_needed, body, (acc0, m0, l0))
     # Padded query rows have l == 0 (all keys masked); guard the divide.
     l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+
+
+def _heads_per_cell(bh: int, skv_pad: int, head_dim: int) -> int:
+    """Largest packing factor that divides the merged batch*head dim and
+    keeps a cell's kv working set within a conservative VMEM budget."""
+    budget_rows = 4096  # G * skv_pad rows of k and v (f32 on-chip)
+    for g in (16, 8, 4, 2):
+        if bh % g == 0 and g * skv_pad <= budget_rows and head_dim * g <= 4096:
+            return g
+    return 1
 
 
 def _pad_to(x, size, axis):
@@ -158,18 +174,19 @@ def flash_attention(
     km = _pad_to(km, skv_pad, 1)
     vm = _pad_to(vm, skv_pad, 1)
 
-    grid = (b * h, sq_pad // BLOCK_Q)
+    g = _heads_per_cell(b * h, skv_pad, d)
+    grid = (b * h // g, sq_pad // BLOCK_Q)
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
-            pl.BlockSpec((1, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+        out_specs=pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
         interpret=interpret,
     )(qm, km, vm)

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Stage-level time breakdown of the RN50 extraction step on the TPU.
+
+Times truncated forward prefixes (preprocess / stem / body stages /
+attnpool / zs head) as separate chained-accumulator programs, plus a large
+bf16 GEMM as the chip's practical peak, to locate MXU-utilization gaps
+(docs/STATUS gap 2, VERDICT r1 item 2).
+
+    python scripts/profile_rn50.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debiasing_multi_modal_tpu.models import create_clip
+from debiasing_multi_modal_tpu.ops.preprocess import preprocess_uint8
+from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
+
+BATCH = 512
+RES_IN = 256
+CHAIN = 4
+ITERS = 4
+
+
+def chain_time(fn, *args):
+    """Mean seconds per call: CHAIN dependent calls per program, ITERS runs."""
+
+    @jax.jit
+    def prog(*args):
+        acc = jnp.float32(0.0)
+        for i in range(CHAIN):
+            out = fn(*args)
+            acc = acc + jax.tree.leaves(out)[0].astype(jnp.float32).mean() + i * 0.0
+        return acc
+
+    float(prog(*args))
+    t0 = time.perf_counter()
+    a = jnp.float32(0.0)
+    for _ in range(ITERS):
+        a = a + prog(*args)
+    float(a)
+    return (time.perf_counter() - t0) / (ITERS * CHAIN)
+
+
+def main():
+    print("backend:", jax.default_backend())
+    model = create_clip("RN50", dtype=jnp.bfloat16)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        host_vars = jax.jit(model.init, backend="cpu")(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
+            jnp.zeros((1, 77), jnp.int32),
+        )
+    buf, spec = pack_tree(jax.device_get(host_vars))
+    variables = jax.jit(lambda b: unpack_tree(b, spec))(jnp.asarray(buf))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        (rng.random((BATCH, RES_IN, RES_IN, 3)) * 255).astype(np.uint8)
+    )
+    x224 = jax.jit(lambda im: preprocess_uint8(im, 224, dtype=jnp.bfloat16))(images)
+    text = jnp.asarray(rng.standard_normal((1024, 2)).astype(np.float32))
+
+    vis_vars = {"params": variables["params"]["visual"]}
+    vis = model.clip_module().visual if hasattr(model, "clip_module") else None
+
+    # truncated applies via flax's filtered call: run the visual tower but
+    # stop at a named intermediate using capture_intermediates + a wrapper is
+    # timing-hostile; instead rebuild prefix modules with the same shapes.
+    import flax.linen as nn
+
+    from debiasing_multi_modal_tpu.models.resnet import (
+        AttentionPool2d, Bottleneck, ModifiedResNet, _avg_pool,
+        InferenceBatchNorm,
+    )
+
+    class Prefix(nn.Module):
+        n_stages: int  # 0 = stem only
+        layers = (3, 4, 6, 3)
+        width = 64
+
+        @nn.compact
+        def __call__(self, x):
+            conv = lambda f, k, s, n: nn.Conv(  # noqa: E731
+                f, (k, k), strides=(s, s), padding=((1, 1), (1, 1)),
+                use_bias=False, dtype=jnp.bfloat16, name=n,
+            )
+            bn = lambda f, n: InferenceBatchNorm(f, name=n)  # noqa: E731
+            x = nn.relu(bn(32, "bn1")(conv(32, 3, 2, "conv1")(x)))
+            x = nn.relu(bn(32, "bn2")(conv(32, 3, 1, "conv2")(x)))
+            x = nn.relu(bn(64, "bn3")(conv(64, 3, 1, "conv3")(x)))
+            x = _avg_pool(x, 2)
+            for stage in range(1, self.n_stages + 1):
+                planes = self.width * (1, 2, 4, 8)[stage - 1]
+                for block in range(self.layers[stage - 1]):
+                    x = Bottleneck(
+                        planes, stride=2 if (block == 0 and stage > 1) else 1,
+                        dtype=jnp.bfloat16, name=f"layer{stage}_{block}",
+                    )(x)
+            return x
+
+    rows = []
+
+    def report(name, dt, flops=None):
+        tf = f"  {flops / dt / 1e12:6.1f} TF/s" if flops else ""
+        rows.append(f"{name:28s} {dt * 1e3:8.2f} ms{tf}")
+        print(rows[-1], flush=True)
+
+    # practical peak: big bf16 GEMM
+    m = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
+    dt = chain_time(lambda a, b: a @ b, m, m)
+    report("bf16 GEMM 8192^3 (peak)", dt, 2 * 8192 ** 3)
+
+    dt = chain_time(lambda im: preprocess_uint8(im, 224, dtype=jnp.bfloat16), images)
+    report("preprocess 256->224", dt)
+
+    key = jax.random.PRNGKey(0)
+    prev = 0.0
+    per_img_flops = {0: 0.365e9, 1: 0.365e9 + 1.18e9, 2: None, 3: None, 4: None}
+    for n_stages, label in ((0, "stem+pool"), (1, "+layer1"), (2, "+layer2"),
+                            (3, "+layer3"), (4, "+layer4")):
+        mod = Prefix(n_stages=n_stages)
+        with jax.default_device(cpu):
+            pv = jax.jit(mod.init, backend="cpu")(key, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))
+        pb, ps = pack_tree(jax.device_get(pv))
+        pv = jax.jit(lambda b: unpack_tree(b, ps))(jnp.asarray(pb))
+        dt = chain_time(lambda v, x: mod.apply(v, x), pv, x224)
+        report(f"{label} (cum)", dt)
+        prev = dt
+
+    # full visual tower and the complete step
+    enc = lambda v, x: model.apply(v, x, method=model.encode_image)  # noqa: E731
+    dt_vis = chain_time(enc, variables, x224)
+    report("full visual (224 in)", dt_vis, BATCH * 5.4e9)
+
+    def full_step(v, im, t):
+        x = preprocess_uint8(im, 224, dtype=jnp.bfloat16)
+        f = model.apply(v, x, method=model.encode_image).astype(jnp.float32)
+        nrm = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        w = t / jnp.linalg.norm(t, axis=0, keepdims=True)
+        return jnp.matmul(nrm, w, precision=jax.lax.Precision.HIGHEST)
+
+    dt = chain_time(full_step, variables, images, text)
+    report("full step (preproc+enc+zs)", dt, BATCH * 5.4e9)
+    print(f"\nimgs/sec at full step: {BATCH / dt:,.0f}")
+    print("\n".join(["--- summary ---"] + rows))
+
+
+if __name__ == "__main__":
+    main()

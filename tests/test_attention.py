@@ -62,6 +62,30 @@ def test_additive_mask_matches_reference_semantics(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+def test_head_packing_factors_and_equivalence(rng):
+    """Head-packing merges G batch*head rows per grid cell for the
+    many-tiny-heads regime; every packing factor must be numerically
+    identical to the unpacked XLA reference."""
+    from debiasing_multi_modal_tpu.ops.flash_attention import _heads_per_cell
+
+    assert _heads_per_cell(512 * 12, 128, 64) == 16   # ViT-B/32 shapes
+    assert _heads_per_cell(2 * 8, 1024, 64) == 4      # mid-length context
+    assert _heads_per_cell(2 * 8, 4096, 64) == 1      # long context: unpacked
+    assert _heads_per_cell(3, 128, 64) == 1           # indivisible bh
+
+    for b, h, seq in ((16, 4, 50), (1, 3, 130), (2, 8, 257)):
+        q = rng.standard_normal((b, seq, h, 64)).astype(np.float32)
+        k = rng.standard_normal((b, seq, h, 64)).astype(np.float32)
+        v = rng.standard_normal((b, seq, h, 64)).astype(np.float32)
+        ref = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        out = flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_merged_head_wrapper(rng):
     x = rng.standard_normal((2, 50, 128)).astype(np.float32)
     out = multi_head_attention(
