@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Diff produced sweep CSVs against BASELINE.md's reference numbers.
+
+    python scripts/check_vs_baseline.py results_iterative [--tol 0.005]
+
+For every known cell found under the results dir, compares the aggregated
+test worst-group accuracy (test_mean row) to the reference's logged value.
+PASS threshold is |ours - reference| <= tol + 2 * reference_std (the runs use
+different RNG streams, so single-cell agreement is statistical, not bitwise;
+see scripts/reproduce_reference.md §5).  Exits non-zero if any found cell
+fails; cells not yet produced are listed as SKIP.
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+# cell csv -> (reference test-wga mean, reference std)  [BASELINE.md]
+EXPECTED = {
+    "ds_waterbirds_tl_adapter_reg_seq_alter_bs_1024_lr_1.0_lrr1.0_bsr256_MA+rn.csv":
+        (0.8625, 0.0160),
+    "ds_celeba_tl_adapter_reg_seq_alter_bs_1024_lr_0.1_lrr1.0_bsr4_balval_MA+rn.csv":
+        (0.8944, 0.0055),
+    "ds_waterbirds_tl_linear_probing_bs_512_lr_1.0.csv": (0.5960, 0.0063),
+    "ds_waterbirds_tl_adapter_bs_512_lr_1.0.csv": (0.6770, 0.0258),
+    "ds_waterbirds_tl_adapter_reg_bs_512_lr_1.0_lrr1.0_bsr64_GP.csv":
+        (0.7721, 0.0276),
+    "ds_waterbirds_tl_adapter_reg_bs_512_lr_1.0_lrr1.0_bsr64_CP.csv":
+        (0.8507, 0.0107),
+}
+
+
+def test_mean_worst_acc(path: str):
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    header = rows[0]
+    col = header.index("worst_acc")
+    for row in rows[1:]:
+        if row[0] == "test_mean":
+            return float(row[col])
+    raise ValueError(f"no test_mean row in {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("results_dir")
+    ap.add_argument("--tol", type=float, default=0.005)  # 0.5 pt north star
+    args = ap.parse_args()
+
+    failures = 0
+    found = 0
+    for name, (want, std) in EXPECTED.items():
+        path = os.path.join(args.results_dir, name)
+        if not os.path.isfile(path):
+            print(f"SKIP  {name} (not produced)")
+            continue
+        found += 1
+        got = test_mean_worst_acc(path)
+        bound = args.tol + 2 * std
+        ok = abs(got - want) <= bound
+        print(
+            f"{'PASS' if ok else 'FAIL'}  {name}: wga {got:.4f} vs "
+            f"reference {want:.4f} +- {std:.4f} (bound {bound:.4f})"
+        )
+        failures += 0 if ok else 1
+    if not found:
+        print("no known cells found — run the sweeps first")
+        return 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
