@@ -39,15 +39,28 @@ BLOCK_KV = 128
 _NEG_INF = float(-1e30)
 
 
-# Auto-dispatch threshold.  Measured on v5e: at CLIP's sequence lengths
-# (50-257 tokens) XLA's fused batched attention wins decisively — the kernel
-# grid degenerates into thousands of sequential (batch*head) cells of tiny
-# work (ViT-B/32 encode: 65ms XLA vs 869ms Pallas at batch 512).  From ~1k
-# tokens the blockwise kernel is the enabler: the XLA path materializes the
-# [B, H, S, S] score tensor and OOMs at 4096 tokens where the Pallas kernel
-# runs fine.  "auto" therefore routes short sequences to XLA and long ones
-# here; pass impl="pallas" to force the kernel.
+# Auto-dispatch policy (measured on v5e, rounds 1-2; scripts/bench_attention.py
+# + in-context ViT-B/32 encode):
+#
+# - CLIP-scale sequences (50-257 tokens): XLA wins IN-CONTEXT (ViT-B/32
+#   encode at batch 512: 64.7 ms XLA vs 77.0 ms Pallas with head-packing).
+#   Standalone microbenchmarks at these shapes say the opposite (4.1 ms
+#   Pallas vs 34.3 ms XLA) — they miss XLA's fusion with the surrounding
+#   projections; never dispatch on standalone numbers.  (Head-packing still
+#   mattered: it took the kernel from 869 ms to 4.1 ms standalone.)
+# - 1k tokens: tie (2.86 ms XLA vs 2.76 ms Pallas).  4k tokens, fits-in-HBM
+#   batch: XLA wins (7.1 vs 13.9 ms at bs4).
+# - The kernel's real role is the MEMORY enabler: the XLA path materializes
+#   a f32 [B, H, Sq, Skv] score tensor, so past a few GiB it degrades and
+#   then OOMs; the blockwise kernel never materializes it.
+#
+# "auto" therefore takes the Pallas path only when the sequence is long AND
+# XLA's score tensor would be prohibitive; pass impl="pallas" to force.
 MIN_AUTO_SEQ_LEN = 1024
+# XLA won every case that fit alongside the model (up to 8.6 GB of logits on
+# the 16 GB chip); "prohibitive" starts where the materialization would crowd
+# out weights/activations in a real program.
+SCORE_BYTES_THRESHOLD = 8 << 30  # 8 GiB of f32 attention logits
 
 
 def supported(q, k, v, *, mask=None) -> bool:
@@ -57,6 +70,10 @@ def supported(q, k, v, *, mask=None) -> bool:
     if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
         return False
     if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA fuses better
+        return False
+    b, sq, h, _ = q.shape
+    score_bytes = 4 * b * h * sq * k.shape[1]
+    if score_bytes < SCORE_BYTES_THRESHOLD:  # XLA's fused path still wins
         return False
     return _HAS_PLTPU
 

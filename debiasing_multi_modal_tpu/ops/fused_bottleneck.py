@@ -1,0 +1,109 @@
+"""Fused residual bottleneck block as one Pallas TPU kernel (inference).
+
+The reference's Bottleneck (clip/model.py:10-55) is conv1x1 -> BN -> ReLU ->
+conv3x3 -> BN -> ReLU -> conv1x1 -> BN, plus the identity residual and a
+final ReLU.  With the BatchNorms folded into the convolutions
+(weights/fold.py), the stride-1 block is a pure conv/bias/ReLU chain whose
+intermediates XLA materializes in HBM between fusions.  This kernel keeps the
+whole chain in VMEM — one image per grid cell, the 3x3 conv expressed as nine
+shifted GEMMs over a zero-padded VMEM tile — so HBM traffic drops to the
+block's input + output only.
+
+Scope: stride == 1, in_channels == out_channels (the non-downsample blocks,
+13 of RN50's 16), folded-BN inference.  Downsample blocks and training stay
+on the XLA path.  Numerical contract: matches the XLA formulation to bf16
+tolerance (f32 MXU accumulation, bf16 activation storage, residual added in
+bf16 like the flax path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU backend only; tests fall back to interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_SHIFTS = tuple((dy, dx) for dy in range(3) for dx in range(3))
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref):
+    x = x_ref[0]  # [H, W, C] activations (bf16)
+    h, w, c = x.shape
+    m = w1_ref.shape[1]
+
+    # conv1 1x1 + bias + relu
+    y1 = jnp.dot(
+        x.reshape(-1, c), w1_ref[...], preferred_element_type=jnp.float32
+    )
+    y1 = jnp.maximum(y1 + b1_ref[0], 0.0).astype(x.dtype).reshape(h, w, m)
+
+    # conv2 3x3 SAME as nine shifted GEMMs over the zero-padded tile
+    y1p = jnp.pad(y1, ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((h * w, m), jnp.float32)
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        patch = y1p[dy : dy + h, dx : dx + w].reshape(-1, m)
+        acc = acc + jnp.dot(
+            patch, w2_ref[i], preferred_element_type=jnp.float32
+        )
+    y2 = jnp.maximum(acc + b2_ref[0], 0.0).astype(x.dtype)
+
+    # conv3 1x1 + bias, residual, final relu (residual added in bf16 — the
+    # XLA path's dtype at the add)
+    y3 = jnp.dot(y2, w3_ref[...], preferred_element_type=jnp.float32)
+    y3 = (y3 + b3_ref[0]).astype(x.dtype).reshape(h, w, c)
+    o_ref[0] = jnp.maximum(y3 + x, 0.0).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck(
+    x: jax.Array,  # [B, H, W, C]
+    w1: jax.Array,  # [C, M]   (conv1 1x1 kernel, squeezed)
+    b1: jax.Array,  # [M]
+    w2: jax.Array,  # [3, 3, M, M]
+    b2: jax.Array,  # [M]
+    w3: jax.Array,  # [M, C]
+    b3: jax.Array,  # [C]
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, w, c = x.shape
+    m = w1.shape[1]
+    assert w3.shape == (m, c), (w3.shape, (m, c))
+    dt = x.dtype
+    w2r = w2.reshape(9, m, m)
+
+    const = lambda bi: (0, 0)  # noqa: E731
+    const3 = lambda bi: (0, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((c, m), const),
+            pl.BlockSpec((1, m), const),
+            pl.BlockSpec((9, m, m), const3),
+            pl.BlockSpec((1, m), const),
+            pl.BlockSpec((m, c), const),
+            pl.BlockSpec((1, c), const),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        interpret=interpret,
+    )(
+        x,
+        w1.astype(dt),
+        b1.reshape(1, m).astype(jnp.float32),
+        w2r.astype(dt),
+        b2.reshape(1, m).astype(jnp.float32),
+        w3.astype(dt),
+        b3.reshape(1, c).astype(jnp.float32),
+    )

@@ -62,6 +62,26 @@ def test_additive_mask_matches_reference_semantics(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+def test_auto_dispatch_policy():
+    """auto -> Pallas only for long sequences whose XLA score tensor would be
+    prohibitive (docs/DESIGN.md §5 measured policy)."""
+    from debiasing_multi_modal_tpu.ops import flash_attention as fa
+
+    mk = lambda b, s, h, d: jnp.zeros((b, s, h, d), jnp.bfloat16)  # noqa: E731
+    # CLIP-scale: XLA (in-context measurement, not standalone)
+    assert not fa.supported(mk(512, 50, 12, 64), mk(512, 50, 12, 64), mk(512, 50, 12, 64))
+    assert not fa.supported(mk(64, 257, 16, 64), mk(64, 257, 16, 64), mk(64, 257, 16, 64))
+    # long but small-batch: scores fit comfortably -> still XLA
+    assert not fa.supported(mk(4, 4096, 8, 64), mk(4, 4096, 8, 64), mk(4, 4096, 8, 64))
+    # long and big: f32 scores would be 17 GiB -> Pallas (iff pltpu available)
+    big = mk(64, 4096, 8, 64)
+    assert fa.supported(big, big, big) == fa._HAS_PLTPU
+    # additive masks and odd head dims stay on XLA
+    assert not fa.supported(big, big, big, mask=jnp.zeros(()))
+    odd = mk(64, 4096, 8, 80)
+    assert not fa.supported(odd, odd, odd)
+
+
 def test_head_packing_factors_and_equivalence(rng):
     """Head-packing merges G batch*head rows per grid cell for the
     many-tiny-heads regime; every packing factor must be numerically
