@@ -52,6 +52,10 @@ def build_parser():
     p.add_argument("--fuse_bn", action="store_true",
                    help="fold the frozen ResNet BatchNorms into the convs "
                         "(deployment inference variant; ResNet backbones only)")
+    p.add_argument("--shard_every", type=int, default=0,
+                   help="crash-safe mode: persist a result shard every N "
+                        "batches; a re-run resumes after the last complete "
+                        "shard instead of starting over")
     return p
 
 
@@ -146,9 +150,20 @@ def main(args):
     for split in splits:
         meta = load_metadata(args.dataset, meta_root, split)
         t0 = time.time()
+        shard_dir = None
+        if args.shard_every:
+            shard_dir = os.path.join(
+                emb_root, args.backbone.replace("/", "-"), f"shards_{split}"
+            )
         table = runner.run(
-            image_batches(meta, image_root, args.batch_size, host_res, path_for)
+            image_batches(meta, image_root, args.batch_size, host_res, path_for),
+            shard_dir=shard_dir,
+            shard_every=args.shard_every,
         )
+        if shard_dir:
+            from debiasing_multi_modal_tpu.extract.runner import merged_table
+
+            table = merged_table(shard_dir)  # persisted + this run, in order
         dt = time.time() - t0
         print(
             f"{split}: {len(table)} images in {dt:.1f}s "

@@ -145,6 +145,8 @@ class ExtractionRunner:
         batches: Iterable[Tuple[np.ndarray, Dict[str, np.ndarray]]],
         prefetch_depth: int = 2,
         max_in_flight: int = 4,
+        shard_dir: Optional[str] = None,
+        shard_every: int = 0,
     ) -> EmbeddingTable:
         """Drive extraction over an iterator of (uint8 images, metadata cols).
 
@@ -154,7 +156,19 @@ class ExtractionRunner:
         result conversion — enough to pipeline host and device, bounded so
         queued input buffers and retained outputs can't exhaust HBM on long
         streams.
+
+        Crash safety (the reference loses a whole run on a crash — SURVEY
+        §5.3 "lost CSV"): with ``shard_dir`` + ``shard_every=k``, every k
+        completed batches are flushed to ``shard_dir/shard_NNNNN.npz`` and
+        recorded in ``manifest.json``.  ``completed_batches(shard_dir)``
+        tells a restarted driver how many leading batches to skip, and the
+        returned table covers only the batches processed THIS run — merge
+        with ``merged_table(shard_dir)`` for the full result.
         """
+        if shard_dir and shard_every:
+            done = completed_batches(shard_dir)
+            if done:
+                batches = _skip(batches, done)
         if prefetch_depth:
             from debiasing_multi_modal_tpu.data.prefetch import prefetch
 
@@ -162,20 +176,49 @@ class ExtractionRunner:
         pending = []
         embs, preds = [], []
         cols = {k: [] for k in ("filenames", "y", "place", "group", "split")}
+        since_flush = 0
 
         def drain_one():
             e, p, b = pending.pop(0)
             embs.append(np.asarray(e)[:b])  # host sync = backpressure
             preds.append(np.asarray(p)[:b])
 
+        def flush_shard():
+            nonlocal since_flush
+            while pending:
+                drain_one()
+            n_rows = sum(len(e) for e in embs[-since_flush:]) if since_flush else 0
+            if not n_rows:
+                return
+            piece = {
+                k: np.concatenate(v[-since_flush:]) for k, v in cols.items()
+            }
+            piece["y_pred"] = np.concatenate(preds[-since_flush:])
+            piece["embeddings"] = np.concatenate(embs[-since_flush:])
+            _write_shard(shard_dir, piece, since_flush)
+            since_flush = 0
+
         for images, meta in batches:
             pending.append(self.encode_batch_async(images))
             for k in cols:
                 cols[k].append(np.asarray(meta[k]))
+            since_flush += 1
             if len(pending) > max_in_flight:
                 drain_one()
+            if shard_dir and shard_every and since_flush >= shard_every:
+                flush_shard()
         while pending:
             drain_one()
+        if shard_dir and shard_every:
+            flush_shard()
+        if not embs:  # resumed past the end: nothing left to do
+            dim = self.model.config.embed_dim
+            return EmbeddingTable(
+                filenames=np.empty(0, str), y=np.empty(0, np.int32),
+                place=np.empty(0, np.int32), group=np.empty(0, np.int32),
+                split=np.empty(0, np.int32), y_pred=np.empty(0, np.int32),
+                embeddings=np.empty((0, dim), np.float32),
+            )
         return EmbeddingTable(
             filenames=np.concatenate(cols["filenames"]),
             y=np.concatenate(cols["y"]).astype(np.int32),
@@ -185,6 +228,83 @@ class ExtractionRunner:
             y_pred=np.concatenate(preds),
             embeddings=np.concatenate(embs),
         )
+
+
+# --------------------------------------------------- crash-safe sharding --
+
+
+def _skip(it, n: int):
+    for i, item in enumerate(it):
+        if i >= n:
+            yield item
+
+
+def _manifest_path(shard_dir: str) -> str:
+    import os
+
+    return os.path.join(shard_dir, "manifest.json")
+
+
+def _write_shard(shard_dir: str, piece: Dict[str, np.ndarray], n_batches: int):
+    """Atomically write one shard and append it to the manifest (the shard
+    lands fully before the manifest references it, so a crash mid-write
+    never corrupts the resume state)."""
+    import json
+    import os
+
+    os.makedirs(shard_dir, exist_ok=True)
+    manifest = _read_manifest(shard_dir)
+    idx = len(manifest["shards"])
+    name = f"shard_{idx:05d}.npz"
+    tmp = os.path.join(shard_dir, name + ".tmp.npz")
+    with open(tmp, "wb") as f:
+        np.savez(f, **piece)
+    os.replace(tmp, os.path.join(shard_dir, name))
+    manifest["shards"].append(
+        {"file": name, "batches": int(n_batches), "rows": int(len(piece["y"]))}
+    )
+    tmp_m = _manifest_path(shard_dir) + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp_m, _manifest_path(shard_dir))
+
+
+def _read_manifest(shard_dir: str) -> Dict:
+    import json
+    import os
+
+    path = _manifest_path(shard_dir)
+    if not os.path.exists(path):
+        return {"shards": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def completed_batches(shard_dir: str) -> int:
+    """Batches already persisted by a previous (possibly crashed) run."""
+    return sum(s["batches"] for s in _read_manifest(shard_dir)["shards"])
+
+
+def merged_table(shard_dir: str) -> EmbeddingTable:
+    """Concatenate every manifest shard into one EmbeddingTable."""
+    import os
+
+    manifest = _read_manifest(shard_dir)
+    if not manifest["shards"]:
+        raise ValueError(f"no shards recorded in {shard_dir!r}")
+    pieces = []
+    for s in manifest["shards"]:
+        with np.load(os.path.join(shard_dir, s["file"]), allow_pickle=False) as z:
+            pieces.append({k: z[k] for k in z.files})
+    return EmbeddingTable(
+        filenames=np.concatenate([p["filenames"] for p in pieces]).astype(str),
+        y=np.concatenate([p["y"] for p in pieces]).astype(np.int32),
+        place=np.concatenate([p["place"] for p in pieces]).astype(np.int32),
+        group=np.concatenate([p["group"] for p in pieces]).astype(np.int32),
+        split=np.concatenate([p["split"] for p in pieces]).astype(np.int32),
+        y_pred=np.concatenate([p["y_pred"] for p in pieces]).astype(np.int32),
+        embeddings=np.concatenate([p["embeddings"] for p in pieces]).astype(np.float32),
+    )
 
 
 def minority_report(

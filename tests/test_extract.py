@@ -132,3 +132,61 @@ def test_run_builds_table_and_roundtrips(tmp_path, model_and_vars, rng):
 
     report = minority_report(table.y, table.place, table.y_pred, "waterbirds")
     assert "recall" in report or "1" in report
+
+
+def test_sharded_extraction_resumes_after_crash(tmp_path, model_and_vars, rng):
+    """Crash-safe sharding (SURVEY §5.3 — the reference loses a whole run):
+    a killed run leaves complete shards + manifest; a re-run skips the
+    persisted batches and the merged table equals a clean full run."""
+    from debiasing_multi_modal_tpu.extract.runner import (
+        completed_batches, merged_table,
+    )
+
+    model, variables = model_and_vars
+    text = rng.standard_normal((2, 32)).astype(np.float32)
+    runner = ExtractionRunner(model, variables, text, mesh=make_mesh((8,)))
+
+    n_batches, bs = 7, 8
+    imgs = [
+        (rng.random((bs, 32, 32, 3)) * 255).astype(np.uint8)
+        for _ in range(n_batches)
+    ]
+    metas = [
+        {
+            "filenames": np.array([f"b{i}_{j}.jpg" for j in range(bs)]),
+            "y": np.full(bs, i % 2, np.int32),
+            "place": np.full(bs, i % 2, np.int32),
+            "group": np.full(bs, i % 4, np.int32),
+            "split": np.zeros(bs, np.int32),
+        }
+        for i in range(n_batches)
+    ]
+    stream = lambda k: iter(list(zip(imgs[:k], metas[:k])))  # noqa: E731
+
+    full = runner.run(stream(n_batches), prefetch_depth=0)
+
+    def crashing_stream():
+        for i in range(5):
+            yield imgs[i], metas[i]
+        raise RuntimeError("killed")
+
+    shard_dir = str(tmp_path / "shards")
+    # crash mid-run after 5 batches: only the two complete shards (4 batches)
+    # persist; the 5th was in memory and is lost (reprocessed on resume)
+    with pytest.raises(RuntimeError, match="killed"):
+        runner.run(crashing_stream(), prefetch_depth=0,
+                   shard_dir=shard_dir, shard_every=2)
+    assert completed_batches(shard_dir) == 4
+    # resume over the FULL stream: skips 4, processes 3, flushes 2 + tail 1
+    resumed = runner.run(
+        stream(n_batches), prefetch_depth=0, shard_dir=shard_dir, shard_every=2
+    )
+    assert completed_batches(shard_dir) == n_batches
+    assert len(resumed) == 3 * bs  # only this run's batches
+
+    merged = merged_table(shard_dir)
+    assert list(merged.filenames) == list(full.filenames)
+    np.testing.assert_array_equal(merged.y, full.y)
+    np.testing.assert_array_equal(merged.group, full.group)
+    np.testing.assert_array_equal(merged.y_pred, full.y_pred)
+    np.testing.assert_allclose(merged.embeddings, full.embeddings, rtol=1e-6)
