@@ -15,6 +15,13 @@ longer-context configurations (ViT-L/14 and beyond) get it unchanged
 Layout contract: q [B, Sq, H, D], k/v [B, Skv, H, D] (merged-batch=B*H
 internally).  Sequence dims are zero-padded to the 128-lane block size with
 explicit key-padding masking, so any CLIP context length works.
+
+Differentiable end to end: the forward kernel emits the per-row logsumexp and
+the custom VJP runs blockwise dQ and dK/dV kernels over it (the standard
+flash-attention backward), so neither pass ever materializes the
+[B, H, Sq, Skv] score tensor — long-context encoder fine-tuning works where
+the XLA backward cannot exist.  Gradients are tested against jax.grad of the
+XLA formulation (causal, padded, cross-attention).
 """
 
 from __future__ import annotations
@@ -78,73 +85,6 @@ def supported(q, k, v, *, mask=None) -> bool:
     return _HAS_PLTPU
 
 
-def _attn_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    *,
-    scale: float,
-    kv_len: int,
-    q_len: int,
-    causal: bool,
-):
-    """One (packed-heads, q-block) program: G merged batch*head rows stream
-    their kv blocks together with online softmax.  Head-packing (G > 1)
-    exists for the many-tiny-heads regime (CLIP: 50-token, 64-dim heads)
-    where a per-head grid degenerates into thousands of sequential cells —
-    each cell then does G batched MXU contractions instead of one."""
-    iq = pl.program_id(1)
-    q = q_ref[...].astype(jnp.float32) * scale  # [G, BQ, D]
-    g, bq, d = q.shape
-    skv_pad = k_ref.shape[1]
-    n_kv = skv_pad // BLOCK_KV
-
-    q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
-
-    def body(jkv, carry):
-        acc, m, l = carry
-        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
-        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [G, BQ, BKV]
-        kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, BLOCK_KV), 1
-        )
-        valid = kv_pos < kv_len
-        if causal:
-            valid = jnp.logical_and(valid, kv_pos <= q_pos)
-        s = jnp.where(valid[None], s, _NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        return acc_new, m_new, l_new
-
-    acc0 = jnp.zeros((g, bq, d), jnp.float32)
-    m0 = jnp.full((g, bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((g, bq, 1), jnp.float32)
-
-    if causal:
-        # Only stream kv blocks at or below this q block's diagonal.
-        n_needed = jnp.minimum(
-            n_kv, (iq * BLOCK_Q + BLOCK_Q + BLOCK_KV - 1) // BLOCK_KV
-        )
-    else:
-        n_needed = n_kv
-    acc, m, l = jax.lax.fori_loop(0, n_needed, body, (acc0, m0, l0))
-    # Padded query rows have l == 0 (all keys masked); guard the divide.
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc / l).astype(o_ref.dtype)
-
-
 def _heads_per_cell(bh: int, skv_pad: int, head_dim: int) -> int:
     """Largest packing factor that divides the merged batch*head dim and
     keeps a cell's kv working set within a conservative VMEM budget."""
@@ -155,6 +95,164 @@ def _heads_per_cell(bh: int, skv_pad: int, head_dim: int) -> int:
     return 1
 
 
+def _attn_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, q_len, causal
+):
+    """Forward that also emits the row logsumexp (training residual)."""
+    iq = pl.program_id(1)
+    q = q_ref[...].astype(jnp.float32) * scale
+    g, bq, d = q.shape
+    skv_pad = k_ref.shape[1]
+    n_kv = skv_pad // BLOCK_KV
+    q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
+
+    def body(jkv, carry):
+        acc, m, l = carry
+        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, BLOCK_KV), 1
+        )
+        valid = kv_pos < kv_len
+        if causal:
+            valid = jnp.logical_and(valid, kv_pos <= q_pos)
+        s = jnp.where(valid[None], s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((g, bq, d), jnp.float32)
+    m0 = jnp.full((g, bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, bq, 1), jnp.float32)
+    if causal:
+        n_needed = jnp.minimum(
+            n_kv, (iq * BLOCK_Q + BLOCK_Q + BLOCK_KV - 1) // BLOCK_KV
+        )
+    else:
+        n_needed = n_kv
+    acc, m, l = jax.lax.fori_loop(0, n_needed, body, (acc0, m0, l0))
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[...] = (acc / safe_l).astype(o_ref.dtype)
+    # rows with no valid keys (padding) get +BIG so the backward's
+    # exp(s - lse) underflows to exactly zero
+    lse = jnp.where(l > 0.0, m + jnp.log(safe_l), -_NEG_INF)
+    lse_ref[...] = lse  # [G, BQ, 1] — trailing singleton for TPU tiling
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, kv_len, q_len, causal,
+):
+    """dQ for one (packed-heads, q-block) cell, streaming kv blocks."""
+    iq = pl.program_id(1)
+    q = q_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...][..., 0]  # [G, BQ] (stored with trailing singleton)
+    delta = delta_ref[...][..., 0]
+    g, bq, d = q.shape
+    skv_pad = k_ref.shape[1]
+    n_kv = skv_pad // BLOCK_KV
+    q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
+
+    def body(jkv, dq):
+        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse[..., None])
+        kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, BLOCK_KV), 1
+        )
+        valid = kv_pos < kv_len
+        if causal:
+            valid = jnp.logical_and(valid, kv_pos <= q_pos)
+        p = jnp.where(valid[None], p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[..., None]) * scale
+        return dq + jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        n_needed = jnp.minimum(
+            n_kv, (iq * BLOCK_Q + BLOCK_Q + BLOCK_KV - 1) // BLOCK_KV
+        )
+    else:
+        n_needed = n_kv
+    dq = jax.lax.fori_loop(
+        0, n_needed, body, jnp.zeros((g, bq, d), jnp.float32)
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, kv_len, q_len, causal,
+):
+    """dK/dV for one (packed-heads, kv-block) cell, streaming q blocks."""
+    jkv = pl.program_id(1)
+    k = k_ref[...].astype(jnp.float32)  # [G, BKV, D]
+    v = v_ref[...].astype(jnp.float32)
+    g, bkv, d = k.shape
+    sq_pad = q_ref.shape[1]
+    n_q = sq_pad // BLOCK_Q
+    kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
+        jnp.int32, (BLOCK_Q, bkv), 1
+    )
+    kv_valid = kv_pos < kv_len
+
+    def body(iq, carry):
+        dk, dv = carry
+        q = q_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        do = do_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        lse = lse_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), 0]
+        delta = delta_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), 0]
+        s = scale * jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [G, BQ, BKV]
+        p = jnp.exp(s - lse[..., None])
+        valid = kv_valid
+        if causal:
+            q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(
+                jnp.int32, (BLOCK_Q, bkv), 0
+            )
+            valid = jnp.logical_and(valid, kv_pos <= q_pos)
+        p = jnp.where(valid[None], p, 0.0)
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[..., None]) * scale
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
+
+    if causal:
+        # q blocks strictly above this kv block's diagonal contribute nothing
+        start = (jkv * BLOCK_KV) // BLOCK_Q
+    else:
+        start = 0
+    dk0 = jnp.zeros((g, bkv, d), jnp.float32)
+    dv0 = jnp.zeros((g, bkv, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start, n_q, body, (dk0, dv0))
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad == 0:
@@ -162,6 +260,122 @@ def _pad_to(x, size, axis):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _merge_pad(x, b, h, d, s_pad):
+    """[B, S, H, D] -> zero-padded [B*H, s_pad, D]."""
+    m = x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+    return _pad_to(m, s_pad, 1)
+
+
+def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret):
+    bh, sq_pad, d = qm.shape
+    skv_pad = km.shape[1]
+    g = _heads_per_cell(bh, skv_pad, d)
+    grid = (bh // g, sq_pad // BLOCK_Q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _attn_fwd_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, BLOCK_Q, 1), lambda bh, iq: (bh, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_pad, d), qm.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qm, km, vm)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, causal, interpret):
+    return _flash_fwd_rule(q, k, v, causal, interpret)[0]
+
+
+def _flash_fwd_rule(q, k, v, causal, interpret):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = d ** -0.5
+    sq_pad = -(-sq // BLOCK_Q) * BLOCK_Q
+    skv_pad = -(-skv // BLOCK_KV) * BLOCK_KV
+    qm = _merge_pad(q, b, h, d, sq_pad)
+    km = _merge_pad(k, b, h, d, skv_pad)
+    vm = _merge_pad(v, b, h, d, skv_pad)
+    om, lse = _flash_fwd_padded(
+        qm, km, vm, scale=scale, sq=sq, skv=skv, causal=causal,
+        interpret=interpret,
+    )
+    out = om[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return out, (qm, km, vm, om, lse, (b, sq, h, d, skv))
+
+
+def _flash_bwd_rule(causal, interpret, res, grad):
+    qm, km, vm, om, lse, (b, sq, h, d, skv) = res
+    scale = d ** -0.5
+    sq_pad, skv_pad = qm.shape[1], km.shape[1]
+    dom = _merge_pad(grad, b, h, d, sq_pad)
+    delta = jnp.sum(
+        dom.astype(jnp.float32) * om.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    bh = qm.shape[0]
+    g = _heads_per_cell(bh, max(skv_pad, sq_pad), d)
+    kw = dict(scale=scale, kv_len=skv, q_len=sq, causal=causal)
+
+    dqm = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kw),
+        grid=(bh // g, sq_pad // BLOCK_Q),
+        in_specs=[
+            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, BLOCK_Q, 1), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, BLOCK_Q, 1), lambda bh, iq: (bh, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), qm.dtype),
+        interpret=interpret,
+    )(qm, km, vm, dom, lse, delta)
+
+    dkm, dvm = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kw),
+        grid=(bh // g, skv_pad // BLOCK_KV),
+        in_specs=[
+            pl.BlockSpec((g, sq_pad, d), lambda bh, jk: (bh, 0, 0)),
+            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, sq_pad, d), lambda bh, jk: (bh, 0, 0)),
+            pl.BlockSpec((g, sq_pad, 1), lambda bh, jk: (bh, 0, 0)),
+            pl.BlockSpec((g, sq_pad, 1), lambda bh, jk: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, skv_pad, d), km.dtype),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), vm.dtype),
+        ],
+        interpret=interpret,
+    )(qm, km, vm, dom, lse, delta)
+
+    def unmerge(xm, s):
+        return xm[:, :s, :].reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+    return unmerge(dqm, sq), unmerge(dkm, skv), unmerge(dvm, skv)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))
@@ -174,39 +388,13 @@ def flash_attention(
     causal: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention: q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D]."""
+    """Fused attention: q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D].
+
+    Differentiable: the backward pass is the standard flash-attention
+    recomputation (blockwise dQ and dK/dV kernels over the saved row
+    logsumexp), so gradients never materialize the [B, H, Sq, Skv] score
+    tensor either — encoder fine-tuning works at context lengths where the
+    XLA backward cannot exist.
+    """
     assert mask is None, "additive masks use the XLA path"
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
-    scale = d ** -0.5
-
-    # [B, S, H, D] -> [B*H, S, D]
-    def merge(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
-
-    qm, km, vm = merge(q), merge(k), merge(v)
-    sq_pad = -(-sq // BLOCK_Q) * BLOCK_Q
-    skv_pad = -(-skv // BLOCK_KV) * BLOCK_KV
-    qm = _pad_to(qm, sq_pad, 1)
-    km = _pad_to(km, skv_pad, 1)
-    vm = _pad_to(vm, skv_pad, 1)
-
-    g = _heads_per_cell(b * h, skv_pad, d)
-    grid = (b * h // g, sq_pad // BLOCK_Q)
-    out = pl.pallas_call(
-        functools.partial(
-            _attn_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
-            pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
-        interpret=interpret,
-    )(qm, km, vm)
-
-    out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
-    return out
+    return _flash(q, k, v, causal, interpret)

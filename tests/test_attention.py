@@ -62,6 +62,34 @@ def test_additive_mask_matches_reference_semantics(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq,skv", [(77, 77), (130, 130), (64, 192)],
+                         ids=["s77", "padded130", "cross"])
+def test_flash_backward_matches_xla_grads(rng, causal, seq, skv):
+    """The blockwise backward kernels (dQ, dK/dV over the saved logsumexp)
+    must reproduce jax.grad of the XLA formulation."""
+    if causal and seq != skv:
+        pytest.skip("causal cross-attention undefined here")
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, seq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, seq, h, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, interpret=True) * t)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, causal=causal) * t)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip(("dq", "dk", "dv"), g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
 def test_auto_dispatch_policy():
     """auto -> Pallas only for long sequences whose XLA score tensor would be
     prohibitive (docs/DESIGN.md §5 measured policy)."""
