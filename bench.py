@@ -145,6 +145,11 @@ def main():
         for _ in range(n_e2e):
             yield images, meta
 
+    # untimed warmup at the FULL batch shape: runner._step is a separate
+    # program from timed_step's inlined copy, and its first execution pays
+    # the ~10 s tunnel compile — one-time cost, not pipeline throughput
+    runner.encode_batch(images)
+
     t0 = time.perf_counter()
     table = runner.run(stream(), prefetch_depth=2)
     dt_e2e = time.perf_counter() - t0

@@ -151,19 +151,28 @@ def main(args):
         meta = load_metadata(args.dataset, meta_root, split)
         t0 = time.time()
         shard_dir = None
+        shard_meta = None
         if args.shard_every:
             shard_dir = os.path.join(
                 emb_root, args.backbone.replace("/", "-"), f"shards_{split}"
             )
+            # fingerprint the settings that change the persisted numbers —
+            # resuming into shards from a different configuration is an error
+            shard_meta = {
+                "backbone": args.backbone,
+                "checkpoint": args.checkpoint or "random",
+                "normalized": bool(getattr(args, "normalized", False)),
+                "fuse_bn": bool(args.fuse_bn),
+                "batch_size": args.batch_size,
+                "host_resolution": args.host_resolution,
+                "split": split,
+            }
         table = runner.run(
             image_batches(meta, image_root, args.batch_size, host_res, path_for),
             shard_dir=shard_dir,
             shard_every=args.shard_every,
-        )
-        if shard_dir:
-            from debiasing_multi_modal_tpu.extract.runner import merged_table
-
-            table = merged_table(shard_dir)  # persisted + this run, in order
+            shard_meta=shard_meta,
+        )  # sharded runs return the merged table across all (resumed) runs
         dt = time.time() - t0
         print(
             f"{split}: {len(table)} images in {dt:.1f}s "

@@ -147,6 +147,7 @@ class ExtractionRunner:
         max_in_flight: int = 4,
         shard_dir: Optional[str] = None,
         shard_every: int = 0,
+        shard_meta: Optional[Dict] = None,
     ) -> EmbeddingTable:
         """Drive extraction over an iterator of (uint8 images, metadata cols).
 
@@ -160,15 +161,21 @@ class ExtractionRunner:
         Crash safety (the reference loses a whole run on a crash — SURVEY
         §5.3 "lost CSV"): with ``shard_dir`` + ``shard_every=k``, every k
         completed batches are flushed to ``shard_dir/shard_NNNNN.npz`` and
-        recorded in ``manifest.json``.  ``completed_batches(shard_dir)``
-        tells a restarted driver how many leading batches to skip, and the
-        returned table covers only the batches processed THIS run — merge
-        with ``merged_table(shard_dir)`` for the full result.
+        recorded in ``manifest.json``; flushed results are dropped from host
+        memory, so peak RAM is one shard regardless of corpus size.  A re-run
+        skips the already-persisted ROWS (validated against the incoming
+        stream's batch boundaries, so a changed batch size fails loudly
+        rather than dropping images), checks ``shard_meta`` against the
+        manifest (changed extraction settings fail loudly rather than mixing
+        stale shards), and the sharded run returns ``merged_table(shard_dir)``
+        — the complete result across all runs.
         """
-        if shard_dir and shard_every:
-            done = completed_batches(shard_dir)
-            if done:
-                batches = _skip(batches, done)
+        sharding = bool(shard_dir and shard_every)
+        if sharding:
+            _check_shard_meta(shard_dir, shard_meta)
+            done_rows = completed_rows(shard_dir)
+            if done_rows:
+                batches = _skip_rows(batches, done_rows)
         if prefetch_depth:
             from debiasing_multi_modal_tpu.data.prefetch import prefetch
 
@@ -184,19 +191,20 @@ class ExtractionRunner:
             preds.append(np.asarray(p)[:b])
 
         def flush_shard():
-            nonlocal since_flush
+            nonlocal since_flush, embs, preds
             while pending:
                 drain_one()
-            n_rows = sum(len(e) for e in embs[-since_flush:]) if since_flush else 0
-            if not n_rows:
+            if not since_flush or not embs:
                 return
-            piece = {
-                k: np.concatenate(v[-since_flush:]) for k, v in cols.items()
-            }
-            piece["y_pred"] = np.concatenate(preds[-since_flush:])
-            piece["embeddings"] = np.concatenate(embs[-since_flush:])
-            _write_shard(shard_dir, piece, since_flush)
+            piece = {k: np.concatenate(v) for k, v in cols.items()}
+            piece["y_pred"] = np.concatenate(preds)
+            piece["embeddings"] = np.concatenate(embs)
+            _write_shard(shard_dir, piece, since_flush, shard_meta)
+            # flushed results live on disk now — keep host memory bounded
             since_flush = 0
+            embs, preds = [], []
+            for k in cols:
+                cols[k].clear()
 
         for images, meta in batches:
             pending.append(self.encode_batch_async(images))
@@ -205,13 +213,15 @@ class ExtractionRunner:
             since_flush += 1
             if len(pending) > max_in_flight:
                 drain_one()
-            if shard_dir and shard_every and since_flush >= shard_every:
+            if sharding and since_flush >= shard_every:
                 flush_shard()
         while pending:
             drain_one()
-        if shard_dir and shard_every:
+        if sharding:
             flush_shard()
-        if not embs:  # resumed past the end: nothing left to do
+            if _read_manifest(shard_dir)["shards"]:
+                return merged_table(shard_dir)
+        if not embs:  # empty stream (or resumed past the end with no shards)
             dim = self.model.config.embed_dim
             return EmbeddingTable(
                 filenames=np.empty(0, str), y=np.empty(0, np.int32),
@@ -233,10 +243,28 @@ class ExtractionRunner:
 # --------------------------------------------------- crash-safe sharding --
 
 
-def _skip(it, n: int):
-    for i, item in enumerate(it):
-        if i >= n:
-            yield item
+def _skip_rows(it, rows: int):
+    """Skip leading batches totalling exactly ``rows`` rows.  Raises when the
+    stream's batch boundaries don't align with the persisted rows — e.g. a
+    resume with a different batch size, which would otherwise silently drop
+    or duplicate images."""
+    seen = 0
+    for images, meta in it:
+        if seen >= rows:
+            yield images, meta
+            continue
+        seen += len(images)
+        if seen > rows:
+            raise ValueError(
+                f"resume misalignment: shards cover {rows} rows but the "
+                f"stream's batch boundary lands at {seen} — re-run with the "
+                "original batch size or delete the shard directory"
+            )
+    if seen and seen < rows:
+        raise ValueError(
+            f"resume misalignment: shards cover {rows} rows but the stream "
+            f"only has {seen} — stale shard directory for this input?"
+        )
 
 
 def _manifest_path(shard_dir: str) -> str:
@@ -245,7 +273,23 @@ def _manifest_path(shard_dir: str) -> str:
     return os.path.join(shard_dir, "manifest.json")
 
 
-def _write_shard(shard_dir: str, piece: Dict[str, np.ndarray], n_batches: int):
+def _check_shard_meta(shard_dir: str, shard_meta: Optional[Dict]):
+    """Refuse to resume into shards produced under different settings."""
+    recorded = _read_manifest(shard_dir).get("meta")
+    if recorded is not None and shard_meta is not None and recorded != shard_meta:
+        raise ValueError(
+            f"shard directory {shard_dir!r} was produced with different "
+            f"extraction settings ({recorded} != {shard_meta}); delete it to "
+            "re-extract"
+        )
+
+
+def _write_shard(
+    shard_dir: str,
+    piece: Dict[str, np.ndarray],
+    n_batches: int,
+    shard_meta: Optional[Dict] = None,
+):
     """Atomically write one shard and append it to the manifest (the shard
     lands fully before the manifest references it, so a crash mid-write
     never corrupts the resume state)."""
@@ -254,6 +298,8 @@ def _write_shard(shard_dir: str, piece: Dict[str, np.ndarray], n_batches: int):
 
     os.makedirs(shard_dir, exist_ok=True)
     manifest = _read_manifest(shard_dir)
+    if shard_meta is not None and "meta" not in manifest:
+        manifest["meta"] = shard_meta
     idx = len(manifest["shards"])
     name = f"shard_{idx:05d}.npz"
     tmp = os.path.join(shard_dir, name + ".tmp.npz")
@@ -283,6 +329,11 @@ def _read_manifest(shard_dir: str) -> Dict:
 def completed_batches(shard_dir: str) -> int:
     """Batches already persisted by a previous (possibly crashed) run."""
     return sum(s["batches"] for s in _read_manifest(shard_dir)["shards"])
+
+
+def completed_rows(shard_dir: str) -> int:
+    """Rows already persisted by a previous (possibly crashed) run."""
+    return sum(s["rows"] for s in _read_manifest(shard_dir)["shards"])
 
 
 def merged_table(shard_dir: str) -> EmbeddingTable:

@@ -46,6 +46,29 @@ def adapted_embeddings(
     return np.concatenate(out, axis=0)
 
 
+def mean_pairwise_distance(
+    embeddings: np.ndarray,
+    max_n: int = 512,
+    rng: Optional[np.random.Generator] = None,
+) -> float:
+    """Mean pairwise Euclidean distance, via the Gram-matrix identity
+    ||a-b||^2 = |a|^2 + |b|^2 - 2ab (no O(n^2 * D) broadcast temp), with a
+    seeded RANDOM subsample for large sets (a prefix would be biased — split
+    tables are metadata-ordered, correlated with class/group)."""
+    n = len(embeddings)
+    if n < 2:
+        return 0.0
+    if n > max_n:
+        rng = rng or np.random.default_rng(0)
+        embeddings = embeddings[rng.choice(n, max_n, replace=False)]
+        n = max_n
+    e = embeddings.astype(np.float64)
+    sq = (e ** 2).sum(axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (e @ e.T), 0.0)
+    d = np.sqrt(d2)
+    return float(d[np.triu_indices(n, 1)].mean())
+
+
 def group_stats(embeddings: np.ndarray, groups: np.ndarray, n_groups: int = 4,
                 max_pairwise: int = 512, seed: int = 0) -> Dict[int, Dict[str, float]]:
     """Per-group {mean_norm, mean_pairwise_dist, count} (visualizer.py:657-690).
@@ -60,17 +83,10 @@ def group_stats(embeddings: np.ndarray, groups: np.ndarray, n_groups: int = 4,
             stats[g] = {"count": 0, "mean_norm": float("nan"), "mean_pairwise_dist": float("nan")}
             continue
         sub = embeddings[idx]
-        mean_vec = sub.mean(axis=0)
-        if len(idx) > max_pairwise:
-            sub = sub[rng.choice(len(idx), max_pairwise, replace=False)]
-        diffs = sub[:, None, :] - sub[None, :, :]
-        d = np.sqrt((diffs ** 2).sum(-1))
-        n = len(sub)
-        mean_pd = d[np.triu_indices(n, 1)].mean() if n > 1 else 0.0
         stats[g] = {
             "count": int(len(idx)),
-            "mean_norm": float(np.linalg.norm(mean_vec)),
-            "mean_pairwise_dist": float(mean_pd),
+            "mean_norm": float(np.linalg.norm(sub.mean(axis=0))),
+            "mean_pairwise_dist": mean_pairwise_distance(sub, max_pairwise, rng),
         }
     return stats
 

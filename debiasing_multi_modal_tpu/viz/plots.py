@@ -205,14 +205,13 @@ def split_stats_table(
     """The per-split stats block of VisRepAll (visualizer.py:200-225):
     rows Acc. (mean, worst, per group), Div. (mean pairwise distance; full
     first, 0 in the Worst slot), Centr. Norm. (mean-vector norms)."""
-    from debiasing_multi_modal_tpu.viz.analysis import group_stats
+    from debiasing_multi_modal_tpu.viz.analysis import (
+        group_stats, mean_pairwise_distance,
+    )
 
     st = group_stats(embeddings, groups, n_groups=n_groups)
     full_norm = float(np.linalg.norm(embeddings.mean(axis=0)))
-    sub = embeddings[: min(len(embeddings), 512)]
-    diffs = sub[:, None, :] - sub[None, :, :]
-    d = np.sqrt((diffs ** 2).sum(-1))
-    full_div = float(d[np.triu_indices(len(sub), 1)].mean()) if len(sub) > 1 else 0.0
+    full_div = mean_pairwise_distance(embeddings)
     table = {}
     if group_accs:
         table["Acc."] = [

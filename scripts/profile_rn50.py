@@ -2,9 +2,9 @@
 """Stage-level time breakdown of the RN50 extraction step on the TPU.
 
 Times truncated forward prefixes (preprocess / stem / body stages /
-attnpool / zs head) as separate chained-accumulator programs, plus a large
-bf16 GEMM as the chip's practical peak, to locate MXU-utilization gaps
-(docs/STATUS gap 2, VERDICT r1 item 2).
+attnpool / zs head) as separate chained-accumulator programs, plus large
+GEMMs as the chip's practical peak, to locate MXU-utilization gaps
+(docs/DESIGN.md §8.5).  FLOP figures use XLA cost analysis (11.4 GF/img).
 
     python scripts/profile_rn50.py
 """
@@ -25,28 +25,29 @@ from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
 
 BATCH = 512
 RES_IN = 256
-CHAIN = 4
-ITERS = 4
+ITERS = 16
 
 
 def chain_time(fn, *args):
-    """Mean seconds per call: CHAIN dependent calls per program, ITERS runs."""
+    """Mean seconds per call: the proven bench.py pattern — one program per
+    call threading a scalar accumulator (its data dependency defeats CSE and
+    orders the chain; async dispatch pipelines the tunnel latency away), one
+    host fetch at the end as the barrier."""
 
     @jax.jit
-    def prog(*args):
-        acc = jnp.float32(0.0)
-        for i in range(CHAIN):
-            out = fn(*args)
-            acc = acc + jax.tree.leaves(out)[0].astype(jnp.float32).mean() + i * 0.0
-        return acc
+    def prog(acc, *args):
+        out = fn(*args)
+        return acc + jax.tree.leaves(out)[0].astype(jnp.float32).mean()
 
-    float(prog(*args))
+    acc = prog(jnp.float32(0.0), *args)
+    acc = prog(acc, *args)
+    float(acc)  # compile + warm
     t0 = time.perf_counter()
-    a = jnp.float32(0.0)
+    acc = jnp.float32(0.0)
     for _ in range(ITERS):
-        a = a + prog(*args)
-    float(a)
-    return (time.perf_counter() - t0) / (ITERS * CHAIN)
+        acc = prog(acc, *args)
+    float(acc)
+    return (time.perf_counter() - t0) / ITERS
 
 
 def main():
@@ -69,9 +70,6 @@ def main():
     )
     x224 = jax.jit(lambda im: preprocess_uint8(im, 224, dtype=jnp.bfloat16))(images)
     text = jnp.asarray(rng.standard_normal((1024, 2)).astype(np.float32))
-
-    vis_vars = {"params": variables["params"]["visual"]}
-    vis = model.clip_module().visual if hasattr(model, "clip_module") else None
 
     # truncated applies via flax's filtered call: run the visual tower but
     # stop at a named intermediate using capture_intermediates + a wrapper is
@@ -115,17 +113,32 @@ def main():
         rows.append(f"{name:28s} {dt * 1e3:8.2f} ms{tf}")
         print(rows[-1], flush=True)
 
-    # practical peak: big bf16 GEMM
-    m = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
-    dt = chain_time(lambda a, b: a @ b, m, m)
-    report("bf16 GEMM 8192^3 (peak)", dt, 2 * 8192 ** 3)
+    # practical peak: big GEMM under several dtype regimes (this chip's XLA
+    # build has shown dtype-dependent algorithm choices — f32 params + bf16
+    # compute beat all-bf16 convs 2.3x in round 1)
+    m16 = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
+    m32 = m16.astype(jnp.float32)
+    gf = 2 * 8192 ** 3
+    dt = chain_time(lambda a, b: a @ b, m16, m16)
+    report("GEMM 8192^3 bf16@bf16", dt, gf)
+    dt = chain_time(
+        lambda a, b: jax.lax.dot(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ),
+        m32, m32,
+    )
+    report("GEMM f32->bf16 (pref f32)", dt, gf)
+    dt = chain_time(
+        lambda a, b: jax.lax.dot(a, b, precision=jax.lax.Precision.DEFAULT),
+        m32, m32,
+    )
+    report("GEMM f32 DEFAULT", dt, gf)
 
     dt = chain_time(lambda im: preprocess_uint8(im, 224, dtype=jnp.bfloat16), images)
     report("preprocess 256->224", dt)
 
     key = jax.random.PRNGKey(0)
-    prev = 0.0
-    per_img_flops = {0: 0.365e9, 1: 0.365e9 + 1.18e9, 2: None, 3: None, 4: None}
     for n_stages, label in ((0, "stem+pool"), (1, "+layer1"), (2, "+layer2"),
                             (3, "+layer3"), (4, "+layer4")):
         mod = Prefix(n_stages=n_stages)
@@ -135,12 +148,11 @@ def main():
         pv = jax.jit(lambda b: unpack_tree(b, ps))(jnp.asarray(pb))
         dt = chain_time(lambda v, x: mod.apply(v, x), pv, x224)
         report(f"{label} (cum)", dt)
-        prev = dt
 
     # full visual tower and the complete step
     enc = lambda v, x: model.apply(v, x, method=model.encode_image)  # noqa: E731
     dt_vis = chain_time(enc, variables, x224)
-    report("full visual (224 in)", dt_vis, BATCH * 5.4e9)
+    report("full visual (224 in)", dt_vis, BATCH * 11.4e9)
 
     def full_step(v, im, t):
         x = preprocess_uint8(im, 224, dtype=jnp.bfloat16)
@@ -150,7 +162,7 @@ def main():
         return jnp.matmul(nrm, w, precision=jax.lax.Precision.HIGHEST)
 
     dt = chain_time(full_step, variables, images, text)
-    report("full step (preproc+enc+zs)", dt, BATCH * 5.4e9)
+    report("full step (preproc+enc+zs)", dt, BATCH * 11.4e9)
     print(f"\nimgs/sec at full step: {BATCH / dt:,.0f}")
     print("\n".join(["--- summary ---"] + rows))
 

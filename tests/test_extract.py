@@ -177,16 +177,35 @@ def test_sharded_extraction_resumes_after_crash(tmp_path, model_and_vars, rng):
         runner.run(crashing_stream(), prefetch_depth=0,
                    shard_dir=shard_dir, shard_every=2)
     assert completed_batches(shard_dir) == 4
-    # resume over the FULL stream: skips 4, processes 3, flushes 2 + tail 1
-    resumed = runner.run(
+    # resume over the FULL stream: skips 4 batches' rows, processes 3 more,
+    # and returns the merged table across both runs
+    merged = runner.run(
         stream(n_batches), prefetch_depth=0, shard_dir=shard_dir, shard_every=2
     )
     assert completed_batches(shard_dir) == n_batches
-    assert len(resumed) == 3 * bs  # only this run's batches
-
-    merged = merged_table(shard_dir)
+    assert len(merged) == n_batches * bs
     assert list(merged.filenames) == list(full.filenames)
     np.testing.assert_array_equal(merged.y, full.y)
     np.testing.assert_array_equal(merged.group, full.group)
     np.testing.assert_array_equal(merged.y_pred, full.y_pred)
     np.testing.assert_allclose(merged.embeddings, full.embeddings, rtol=1e-6)
+    assert list(merged_table(shard_dir).filenames) == list(full.filenames)
+
+    # a resume whose batch boundaries don't align with the persisted rows
+    # must fail loudly (silent image loss otherwise)
+    mis = [
+        (np.concatenate([imgs[0], imgs[1][:4]]),
+         {k: np.concatenate([metas[0][k], metas[1][k][:4]]) for k in metas[0]})
+    ]
+    with pytest.raises(ValueError, match="misalignment"):
+        runner.run(iter(mis), prefetch_depth=0,
+                   shard_dir=shard_dir, shard_every=2)
+
+    # resuming under different extraction settings must fail loudly
+    runner.run(stream(2), prefetch_depth=0,
+               shard_dir=str(tmp_path / "s2"), shard_every=1,
+               shard_meta={"backbone": "tiny", "normalized": False})
+    with pytest.raises(ValueError, match="different extraction settings"):
+        runner.run(stream(2), prefetch_depth=0,
+                   shard_dir=str(tmp_path / "s2"), shard_every=1,
+                   shard_meta={"backbone": "tiny", "normalized": True})
