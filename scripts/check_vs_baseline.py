@@ -16,18 +16,32 @@ import csv
 import os
 import sys
 
-# cell csv -> (reference test-wga mean, reference std)  [BASELINE.md]
+# cell csv -> (reference test-wga mean, reference std).  Names and numbers
+# verified against demo/demo_final_performance_and_ablations.ipynb cell
+# outputs + BASELINE.md; the headline WB cell against results_waterbirds.out.
 EXPECTED = {
+    # headline configurations
     "ds_waterbirds_tl_adapter_reg_seq_alter_bs_1024_lr_1.0_lrr1.0_bsr256_MA+rn.csv":
         (0.8625, 0.0160),
     "ds_celeba_tl_adapter_reg_seq_alter_bs_1024_lr_0.1_lrr1.0_bsr4_balval_MA+rn.csv":
         (0.8944, 0.0055),
+    "ds_celeba_tl_adapter_reg_seq_alter_bs_512_lr_10.0_lrr10.0_bsr32_balval_MA+rn.csv":
+        (0.8806, 0.0196),
+    # ablation ladder (notebook cells 7-21)
     "ds_waterbirds_tl_linear_probing_bs_512_lr_1.0.csv": (0.5960, 0.0063),
-    "ds_waterbirds_tl_adapter_bs_512_lr_1.0.csv": (0.6770, 0.0258),
-    "ds_waterbirds_tl_adapter_reg_bs_512_lr_1.0_lrr1.0_bsr64_GP.csv":
+    "ds_waterbirds_tl_adapter_bs_1024_lr_10.0.csv": (0.6770, 0.0258),
+    "ds_waterbirds_tl_adapter_reg_bs_512_lr_10.0_lrr10.0_bsr256_GP.csv":
         (0.7721, 0.0276),
-    "ds_waterbirds_tl_adapter_reg_bs_512_lr_1.0_lrr1.0_bsr64_CP.csv":
+    "ds_waterbirds_tl_adapter_reg_bs_512_lr_10.0_lrr10.0_bsr64_CP.csv":
         (0.8507, 0.0107),
+    "ds_waterbirds_tl_adapter_reg_seq_bs_1024_lr_1.0_lrr1.0_bsr64_GP_MA+rn.csv":
+        (0.7327, 0.0159),
+    "ds_waterbirds_tl_adapter_reg_seq_bs_512_lr_10.0_lrr10.0_bsr256_CP_MA+rn.csv":
+        (0.8535, 0.0027),
+    "ds_waterbirds_tl_adapter_reg_seq_alter_bs_512_lr_10.0_lrr10.0_bsr256.csv":
+        (0.8515, 0.0175),
+    "ds_waterbirds_tl_adapter_reg_seq_alter_bs_1024_lr_1.0_lrr1.0_bsr512_balval_MA+rn.csv":
+        (0.8511, 0.0091),
 }
 
 

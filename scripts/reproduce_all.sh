@@ -26,7 +26,8 @@ bash scripts/save_embedding.sh "${CKPT_ARGS[@]}"
 bash scripts/run_sweep_wb.sh
 bash scripts/run_sweep_ca.sh
 
-# ---- ablation rows used by check_vs_baseline (bs512 cells)
+# ---- ablation rows used by check_vs_baseline (the exact configurations the
+# reference's ablations notebook reads, cells 7-21)
 emb="data/embeddings_unnormalized/waterbirds"
 common=(--dataset waterbirds
   --text_embedding_dir "$emb/clip_class.json"
@@ -34,19 +35,30 @@ common=(--dataset waterbirds
   --text_group_embedding_dir "$emb/clip_group.json"
   --image_embedding_dir "$emb/RN50/clip.npz"
   --data_dir data/waterbirds/waterbird_complete95_forest2water2
-  --num_iter 3 --random_seeds 42,32,22 --lr_decay_rate 0.1)
+  --num_iter 3 --random_seeds 42,32,22 --lr_decay_rate 0.1
+  --epochs 100 --lr_decay_epochs 90,95)
+two_phase=(--epochs_feature_learning 40 --warm_reg --lr_multiple 1.0)
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" \
-  --tl_method linear_probing --epochs 100 --lr_decay_epochs 90,95 \
-  --lr_list 1 --bs_list 512 --bsr_list 64
+  --tl_method linear_probing --lr_list 1 --bs_list 512 --bsr_list 64
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" \
-  --tl_method adapter --epochs 100 --lr_decay_epochs 90,95 \
-  --lr_list 1 --bs_list 512 --bsr_list 64
-python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" \
-  --tl_method adapter_reg --epochs 100 --lr_decay_epochs 90,95 \
-  --lr_list 1 --bs_list 512 --bsr_list 64
-python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" \
-  --tl_method adapter_reg --use_cls_prompt_in_reg --epochs 100 \
-  --lr_decay_epochs 90,95 --lr_list 1 --bs_list 512 --bsr_list 64
+  --tl_method adapter --lr_list 10 --bs_list 1024 --bsr_list 64
+python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
+  --tl_method adapter_reg --lr_list 10 --bs_list 512 --bsr_list 256
+python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
+  --tl_method adapter_reg --use_cls_prompt_in_reg \
+  --lr_list 10 --bs_list 512 --bsr_list 64
+python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
+  --tl_method adapter_reg_seq --add_adapter \
+  --lr_list 1 --bs_list 1024 --bsr_list 64
+python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
+  --tl_method adapter_reg_seq --use_cls_prompt_in_reg --add_adapter \
+  --lr_list 10 --bs_list 512 --bsr_list 256
+python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
+  --tl_method adapter_reg_seq_alter \
+  --lr_list 10 --bs_list 512 --bsr_list 256
+python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
+  --tl_method adapter_reg_seq_alter --balance_val --add_adapter \
+  --lr_list 1 --bs_list 1024 --bsr_list 512
 
 # ---- report tables + automated acceptance diff
 python scripts/ablation_tables.py results_iterative

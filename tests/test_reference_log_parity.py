@@ -316,6 +316,68 @@ def test_celeba_cell_structure():
                 )
 
 
+@pytest.mark.parametrize(
+    "kw,want",
+    [
+        (dict(tl_method="linear_probing", batch_size=512, learning_rate=1.0),
+         "ds_waterbirds_tl_linear_probing_bs_512_lr_1.0.csv"),
+        (dict(tl_method="adapter", batch_size=1024, learning_rate=10.0),
+         "ds_waterbirds_tl_adapter_bs_1024_lr_10.0.csv"),
+        (dict(tl_method="adapter_reg", batch_size=512, learning_rate=10.0,
+              learning_rate_reg=10.0, batch_size_reg=256),
+         "ds_waterbirds_tl_adapter_reg_bs_512_lr_10.0_lrr10.0_bsr256_GP.csv"),
+        (dict(tl_method="adapter_reg", batch_size=512, learning_rate=10.0,
+              learning_rate_reg=10.0, batch_size_reg=64,
+              use_cls_prompt_in_reg=True),
+         "ds_waterbirds_tl_adapter_reg_bs_512_lr_10.0_lrr10.0_bsr64_CP.csv"),
+        (dict(tl_method="adapter_reg_seq", batch_size=1024, learning_rate=1.0,
+              learning_rate_reg=1.0, batch_size_reg=64, add_adapter=True,
+              epochs_feature_learning=40),
+         "ds_waterbirds_tl_adapter_reg_seq_bs_1024_lr_1.0_lrr1.0_bsr64_GP_MA+rn.csv"),
+        (dict(tl_method="adapter_reg_seq", batch_size=512, learning_rate=10.0,
+              learning_rate_reg=10.0, batch_size_reg=256, add_adapter=True,
+              use_cls_prompt_in_reg=True, epochs_feature_learning=40),
+         "ds_waterbirds_tl_adapter_reg_seq_bs_512_lr_10.0_lrr10.0_bsr256_CP_MA+rn.csv"),
+        (dict(tl_method="adapter_reg_seq_alter", batch_size=512,
+              learning_rate=10.0, learning_rate_reg=10.0, batch_size_reg=256,
+              epochs_feature_learning=40),
+         "ds_waterbirds_tl_adapter_reg_seq_alter_bs_512_lr_10.0_lrr10.0_bsr256.csv"),
+        (dict(tl_method="adapter_reg_seq_alter", batch_size=1024,
+              learning_rate=1.0, learning_rate_reg=1.0, batch_size_reg=512,
+              balance_val=True, add_adapter=True, epochs_feature_learning=40),
+         "ds_waterbirds_tl_adapter_reg_seq_alter_bs_1024_lr_1.0_lrr1.0_bsr512_balval_MA+rn.csv"),
+    ],
+    ids=["linprobe", "adapter", "gp_alter", "cp_alter", "gp_seq_ma",
+         "cp_seq_ma", "gcp_seq", "balval"],
+)
+def test_ablation_cell_names_match_notebook(kw, want):
+    """cell_filename reproduces every CSV name the reference's ablations
+    notebook reads (demo_final_performance_and_ablations.ipynb cells 7-21),
+    so scripts/check_vs_baseline.py's EXPECTED table stays reachable."""
+    from debiasing_multi_modal_tpu.sweep.runner import cell_filename
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    assert cell_filename(TrainConfig(dataset="waterbirds", **kw)) == want
+
+
+def test_check_vs_baseline_expected_names_are_producible():
+    """Every EXPECTED cell in check_vs_baseline is a name the notebook reads."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+
+    cvb = importlib.import_module("check_vs_baseline")
+    nb_path = os.path.join(REF, "demo", "demo_final_performance_and_ablations.ipynb")
+    if not os.path.exists(nb_path):
+        pytest.skip("reference notebook unavailable")
+    blob = open(nb_path).read()
+    log_blob = open(WB_LOG).read()
+    for name in cvb.EXPECTED:
+        assert name in blob or name in log_blob, name
+
+
 # ---------------------------------------------------------- trained JSON --
 
 def test_trained_json_best_epoch_bookkeeping():
