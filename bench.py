@@ -156,6 +156,47 @@ def main():
     assert len(table) == batch * n_e2e
     e2e_per_chip = batch * n_e2e / dt_e2e / n_chips
 
+    # ---- Stage B: adapter-training epochs/sec at Waterbirds scale (4,795
+    # train embeddings, D=1024, bs 1024) — the jitted whole-epoch scan,
+    # steady state, dependency-chained through the train state.
+    from debiasing_multi_modal_tpu.data.samplers import epoch_plan
+    from debiasing_multi_modal_tpu.models.adapter import AdapterClassifier
+    from debiasing_multi_modal_tpu.train.steps import (
+        init_train_state, ones_mask, train_epoch,
+    )
+
+    dim = model.config.embed_dim if backbone == "RN50" else 1024
+    n_train, tb = (4795, 1024) if on_accel else (256, 64)
+    module = AdapterClassifier(hidden_dim=128, temperature=0.01)
+    emb_t = jnp.asarray(rng.standard_normal((n_train, dim)).astype(np.float32))
+    lab_t = jnp.asarray(rng.integers(0, 2, n_train).astype(np.int32))
+    grp_t = jnp.asarray(rng.integers(0, 4, n_train).astype(np.int32))
+    text_t = jnp.asarray(rng.standard_normal((dim, 2)).astype(np.float32))
+    variables_t = module.init(
+        jax.random.PRNGKey(0), emb_t[:2], text_t, train=True
+    )
+    state_t = init_train_state(variables_t["params"], variables_t["batch_stats"])
+    mask_t = ones_mask(variables_t["params"])
+    plan = epoch_plan(n_train, tb, shuffle=False)
+    idx_t, msk_t = jnp.asarray(plan.indices), jnp.asarray(plan.mask)
+    lrs_t = jnp.full((plan.num_batches,), 0.1, jnp.float32)
+
+    def one_epoch(st):
+        return train_epoch(
+            module, st, emb_t, lab_t, grp_t, idx_t, msk_t, lrs_t, text_t,
+            mask_t, n_groups=4, momentum=0.9, weight_decay=5e-5,
+        )
+
+    state_t, _ = one_epoch(state_t)  # compile + warm
+    jax.block_until_ready(state_t.params)
+    ep_iters = 30 if on_accel else 3
+    t0 = time.perf_counter()
+    for _ in range(ep_iters):  # state dependency chains the epochs
+        state_t, stats_t = one_epoch(state_t)
+    float(stats_t.loss_sum)  # host fetch = barrier
+    dt_b = time.perf_counter() - t0
+    epochs_per_sec = ep_iters / dt_b
+
     print(
         json.dumps(
             {
@@ -172,6 +213,7 @@ def main():
                 "e2e_host_fed_imgs_per_sec_per_chip": round(e2e_per_chip, 1),
                 "e2e_batches": n_e2e,
                 "batch": batch,
+                "stage_b_train_epochs_per_sec": round(epochs_per_sec, 2),
             }
         )
     )
