@@ -36,7 +36,7 @@ def build_parser():
         default="RN50",
         choices=[
             "RN50", "RN101", "RN50x4", "RN50x16", "RN50x64",
-            "ViT-B/32", "ViT-B/16", "ViT-L/14",
+            "ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px",
         ],
     )
     p.add_argument("--normalized", default=False, action="store_true",
@@ -52,6 +52,9 @@ def build_parser():
     p.add_argument("--fuse_bn", action="store_true",
                    help="fold the frozen ResNet BatchNorms into the convs "
                         "(deployment inference variant; ResNet backbones only)")
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="decode threads (reference DataLoader num_workers, "
+                        "clip_inference.py:123); default = host cpu count")
     p.add_argument("--shard_every", type=int, default=0,
                    help="crash-safe mode: persist a result shard every N "
                         "batches; a re-run resumes after the last complete "
@@ -168,7 +171,8 @@ def main(args):
                 "split": split,
             }
         table = runner.run(
-            image_batches(meta, image_root, args.batch_size, host_res, path_for),
+            image_batches(meta, image_root, args.batch_size, host_res,
+                          path_for, decode_workers=args.num_workers),
             shard_dir=shard_dir,
             shard_every=args.shard_every,
             shard_meta=shard_meta,

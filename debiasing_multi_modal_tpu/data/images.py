@@ -51,23 +51,45 @@ def image_batches(
     batch_size: int,
     host_resolution: Optional[int] = 224,
     path_for: Optional[callable] = None,
+    decode_workers: Optional[int] = None,
 ) -> Iterator[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
     """Yield (uint8 [B, H, W, 3], metadata columns) batches in table order.
 
     ``host_resolution=None`` ships raw decoded images (requires a constant
     source size) and leaves all geometry to the device.
+
+    Decode parallelism (the reference's DataLoader ``num_workers``,
+    clip_inference.py:123,198): PIL's JPEG decode and resize release the GIL,
+    so a thread pool scales on multi-core TPU hosts.  ``decode_workers``
+    defaults to ``os.cpu_count()``; 0/1 decodes inline (this bench host has
+    one core, where the pool is pure overhead).
     """
     path_for = path_for or (lambda fn: os.path.join(image_root, fn))
-    n = len(meta)
-    for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
-        imgs = np.stack(
-            [_load_one(path_for(meta.filenames[i]), host_resolution) for i in idx]
-        )
-        yield imgs, {
-            "filenames": meta.filenames[idx],
-            "y": meta.y[idx],
-            "place": meta.place[idx],
-            "group": meta.group[idx],
-            "split": meta.split[idx],
-        }
+    if decode_workers is None:
+        decode_workers = os.cpu_count() or 1
+    pool = None
+    if decode_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=decode_workers)
+    try:
+        n = len(meta)
+        for start in range(0, n, batch_size):
+            idx = np.arange(start, min(start + batch_size, n))
+            paths = [path_for(meta.filenames[i]) for i in idx]
+            if pool is not None:
+                imgs = np.stack(
+                    list(pool.map(lambda p: _load_one(p, host_resolution), paths))
+                )
+            else:
+                imgs = np.stack([_load_one(p, host_resolution) for p in paths])
+            yield imgs, {
+                "filenames": meta.filenames[idx],
+                "y": meta.y[idx],
+                "place": meta.place[idx],
+                "group": meta.group[idx],
+                "split": meta.split[idx],
+            }
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
