@@ -253,6 +253,37 @@ def adapter_variables_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]
     return {"params": {"adapter": p}, "batch_stats": {"adapter": s}}
 
 
+def _adapter_mlp_to_torch(params, stats, prefix: str, out: Dict[str, np.ndarray]):
+    out[f"{prefix}layers.0.weight"] = np.asarray(params["fc1"]["kernel"], np.float32).T
+    out[f"{prefix}layers.0.bias"] = np.asarray(params["fc1"]["bias"], np.float32)
+    out[f"{prefix}layers.1.weight"] = np.asarray(params["bn"]["scale"], np.float32)
+    out[f"{prefix}layers.1.bias"] = np.asarray(params["bn"]["bias"], np.float32)
+    out[f"{prefix}layers.1.running_mean"] = np.asarray(stats["bn"]["mean"], np.float32)
+    out[f"{prefix}layers.1.running_var"] = np.asarray(stats["bn"]["var"], np.float32)
+    out[f"{prefix}layers.1.num_batches_tracked"] = np.asarray(0, np.int64)
+    out[f"{prefix}layers.3.weight"] = np.asarray(params["fc2"]["kernel"], np.float32).T
+    out[f"{prefix}layers.3.bias"] = np.asarray(params["fc2"]["bias"], np.float32)
+
+
+def adapter_variables_to_torch(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`adapter_variables_from_torch`: export this package's
+    trained adapter variables as the reference's state-dict layout
+    (final_main.py:160-174 ``Adapter`` under ``adapter.`` / MultipleAdapter's
+    ``old_cls.adapter.`` + ``new_adapter.``), so adapters trained here load
+    directly into the reference's evaluation code via
+    ``torch.load``-compatible arrays (wrap values with ``torch.tensor`` or
+    save with ``torch.save({k: torch.tensor(v) ...})``)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    out: Dict[str, np.ndarray] = {}
+    if "old" in params:
+        _adapter_mlp_to_torch(params["old"], stats["old"], "old_cls.adapter.", out)
+        _adapter_mlp_to_torch(params["new"], stats["new"], "new_adapter.", out)
+    else:
+        _adapter_mlp_to_torch(params["adapter"], stats["adapter"], "adapter.", out)
+    return out
+
+
 def save_orbax(variables, path: str):
     """Persist converted variables with Orbax (the framework's native format)."""
     import orbax.checkpoint as ocp

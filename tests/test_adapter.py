@@ -250,3 +250,48 @@ def test_multiple_adapter_old_branch_gets_no_gradient(rng):
     assert any(
         float(jnp.abs(g).max()) > 0.0 for g in jax.tree.leaves(grads["new"])
     )
+
+
+def test_adapter_torch_export_roundtrip(rng):
+    """adapter_variables_to_torch is the exact inverse of the importer: the
+    shipped trained .pth round-trips key-for-key and value-for-value, so
+    adapters trained here load straight into the reference's eval code."""
+    import os
+
+    import torch
+
+    from debiasing_multi_modal_tpu.weights.convert import (
+        adapter_variables_from_torch, adapter_variables_to_torch,
+    )
+
+    if not os.path.exists(TRAINED_PTH):
+        import pytest
+
+        pytest.skip("reference artifact unavailable")
+    sd = {k: v.float().numpy() for k, v in torch.load(
+        TRAINED_PTH, map_location="cpu").items()}
+    variables = adapter_variables_from_torch(sd)
+    back = adapter_variables_to_torch(variables)
+    assert set(back) == set(sd)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue  # not represented in flax batch_stats; exported as 0
+        np.testing.assert_allclose(back[k], sd[k], rtol=1e-6, err_msg=k)
+
+    # single-adapter (CustomCLIP) layout round-trips too
+    single = {
+        f"adapter.layers.{i}.{p}": rng.standard_normal(s).astype(np.float32)
+        for i, p, s in (
+            (0, "weight", (8, 16)), (0, "bias", (8,)),
+            (1, "weight", (8,)), (1, "bias", (8,)),
+            (1, "running_mean", (8,)), (1, "running_var", (8,)),
+            (3, "weight", (16, 8)), (3, "bias", (16,)),
+        )
+    }
+    single["adapter.layers.1.num_batches_tracked"] = np.asarray(7, np.int64)
+    v = adapter_variables_from_torch(single)
+    back = adapter_variables_to_torch(v)
+    for k in single:
+        if k.endswith("num_batches_tracked"):
+            continue  # not represented in flax batch_stats; exported as 0
+        np.testing.assert_allclose(back[k], single[k], rtol=1e-6, err_msg=k)
