@@ -31,7 +31,7 @@ def test_normalize_only():
     np.testing.assert_allclose(out[0, 0, 0], expect, rtol=1e-6)
 
 
-@pytest.mark.parametrize("hw", [(256, 256), (320, 256), (240, 300)])
+@pytest.mark.parametrize("hw", [(256, 256), (320, 256), (240, 300), (180, 260)])
 def test_preprocess_matches_pil_reference(hw):
     """PIL's antialiased bicubic resample is the engine under torchvision's
     Resize; reproduce the reference chain with PIL + numpy directly."""
