@@ -52,6 +52,9 @@ def build_parser():
     p.add_argument("--fuse_bn", action="store_true",
                    help="fold the frozen ResNet BatchNorms into the convs "
                         "(deployment inference variant; ResNet backbones only)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the first "
+                        "split into this directory (TensorBoard/xprof)")
     p.add_argument("--num_workers", type=int, default=None,
                    help="decode threads (reference DataLoader num_workers, "
                         "clip_inference.py:123); default = host cpu count")
@@ -170,13 +173,17 @@ def main(args):
                 "host_resolution": args.host_resolution,
                 "split": split,
             }
-        table = runner.run(
-            image_batches(meta, image_root, args.batch_size, host_res,
-                          path_for, decode_workers=args.num_workers),
-            shard_dir=shard_dir,
-            shard_every=args.shard_every,
-            shard_meta=shard_meta,
-        )  # sharded runs return the merged table across all (resumed) runs
+        from debiasing_multi_modal_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir or "", enabled=bool(args.profile_dir)
+                   and split == splits[0]):
+            table = runner.run(
+                image_batches(meta, image_root, args.batch_size, host_res,
+                              path_for, decode_workers=args.num_workers),
+                shard_dir=shard_dir,
+                shard_every=args.shard_every,
+                shard_meta=shard_meta,
+            )  # sharded runs return the merged table across all (resumed) runs
         dt = time.time() - t0
         print(
             f"{split}: {len(table)} images in {dt:.1f}s "
