@@ -126,6 +126,13 @@ def preprocess_uint8(
             x = jnp.einsum(
                 "oh,nchw->ncow", mh, x, precision=jax.lax.Precision.HIGHEST
             )
+            if dtype == jnp.bfloat16 and rw != w:
+                # store the intermediate between the two resizes in the
+                # requested activation dtype: pixels are [0,1]-scale, the
+                # rounding is <=0.002 (under the downstream bf16 conv noise),
+                # and the pass is bandwidth-bound (DESIGN §8).  The next
+                # einsum promotes back to f32 at HIGHEST precision.
+                x = x.astype(jnp.bfloat16)
         else:
             x = jax.lax.slice_in_dim(x, top, top + resolution, axis=2)
         if rw != w:
