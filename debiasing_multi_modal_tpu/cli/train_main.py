@@ -75,6 +75,9 @@ def build_parser():
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the run "
+                        "(TensorBoard/xprof)")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="enable mid-run Orbax checkpoints in this directory")
     p.add_argument("--resume", action="store_true",
@@ -138,11 +141,14 @@ def main(args):
         args.text_group_embedding_dir,
     )
     cfg = cfg.replace(input_dim=int(bundle.text_class.shape[0]))
-    (tr, va, te), (zs_c, zs_s), _ = train_all_epochs(
-        cfg, bundle, verbose=True, results_dir=args.results_dir,
-        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        checkpoint_every=args.checkpoint_every,
-    )
+    from debiasing_multi_modal_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir or "", enabled=bool(args.profile_dir)):
+        (tr, va, te), (zs_c, zs_s), _ = train_all_epochs(
+            cfg, bundle, verbose=True, results_dir=args.results_dir,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
     print("best train:", tr)
     print("best val:", va)
     print("best test:", te)

@@ -36,7 +36,7 @@ from debiasing_multi_modal_tpu.parallel.mesh import (
     pad_to_multiple,
     replicated,
 )
-from debiasing_multi_modal_tpu.templates import DatasetPrompts
+
 from debiasing_multi_modal_tpu.tokenizer import tokenize
 
 ZS_TEMPERATURE = 0.02  # clip_inference.py:124

@@ -11,7 +11,7 @@ with HIGHEST matmul precision — this is the accuracy-critical head
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 Dtype = Any
