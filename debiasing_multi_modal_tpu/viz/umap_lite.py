@@ -88,8 +88,14 @@ class UMAP:
         dinv = diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
         L = diags(np.ones(n)) - dinv @ G @ dinv
         try:
-            _, vecs = eigsh(L, k=self.n_components + 1, sigma=0.0, which="LM")
+            # deterministic ARPACK start vector: eigsh otherwise seeds from
+            # numpy's global RNG and the layout changes call to call
+            v0 = np.random.default_rng(self.random_state).standard_normal(n)
+            _, vecs = eigsh(L, k=self.n_components + 1, sigma=0.0, which="LM", v0=v0)
             init = vecs[:, 1 : self.n_components + 1]
+            # fix the eigenvector sign ambiguity
+            signs = np.sign(init[np.abs(init).argmax(axis=0), np.arange(init.shape[1])])
+            init = init * np.where(signs == 0, 1.0, signs)
         except Exception:  # eigensolver failure on degenerate graphs
             rng = np.random.default_rng(self.random_state)
             init = rng.standard_normal((n, self.n_components))

@@ -196,3 +196,17 @@ def test_linear_probe_learns(synth):
     acc = evaluate_linear(params, table.embeddings[test], table.y[test])
     assert train_acc > 0.8
     assert acc > 0.5
+
+
+def test_umap_lite_deterministic():
+    """Same random_state -> identical embedding (the reference seeds UMAP
+    with random_state=42, visualizer.py:352; reproducibility contract)."""
+    from debiasing_multi_modal_tpu.viz.umap_lite import UMAP
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((80, 16))
+    a = UMAP(n_components=2, random_state=42, n_epochs=30).fit_transform(X)
+    b = UMAP(n_components=2, random_state=42, n_epochs=30).fit_transform(X)
+    np.testing.assert_array_equal(a, b)
+    c = UMAP(n_components=2, random_state=7, n_epochs=30).fit_transform(X)
+    assert np.abs(a - c).max() > 0  # different seed, different layout
