@@ -134,3 +134,61 @@ def test_train_cli_end_to_end(tmp_path, capsys):
     assert len(saved) == 1
     payload = json.loads(saved[0].read_text())
     assert "Final Results (best epoch)" in payload
+
+
+def test_sweep_cli_end_to_end(tmp_path):
+    """sweep_main drives the vmapped multi-seed grid and writes the
+    reference-schema CSV (final_main_iteration_wb.py CLI surface)."""
+    from debiasing_multi_modal_tpu.cli import sweep_main
+    from debiasing_multi_modal_tpu.templates import WATERBIRDS
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=64, n_val=32, n_test=32, dim=32)
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rows = ["img_id,img_filename,y,split,place"]
+    for i in range(len(meta)):
+        rows.append(
+            f"{i},{meta.filenames[i]},{meta.y[i]},{meta.split[i]},{meta.place[i]}"
+        )
+    (data_dir / "metadata.csv").write_text("\n".join(rows) + "\n")
+    save_embeddings(str(tmp_path / "clip.npz"), table)
+    save_text_embeddings(str(tmp_path / "clip_class.json"), WATERBIRDS.prompts("class"), tc.T)
+    save_text_embeddings(str(tmp_path / "clip_spurious.json"), WATERBIRDS.prompts("spurious"), ts.T)
+    save_text_embeddings(str(tmp_path / "clip_group.json"), WATERBIRDS.prompts("group"), tg.T)
+
+    args = sweep_main.extend_parser(sweep_main.build_parser()).parse_args(
+        [
+            "--data_dir", str(data_dir),
+            "--dataset", "waterbirds",
+            "--image_embedding_dir", str(tmp_path / "clip.npz"),
+            "--text_embedding_dir", str(tmp_path / "clip_class.json"),
+            "--text_spurious_embedding_dir", str(tmp_path / "clip_spurious.json"),
+            "--text_group_embedding_dir", str(tmp_path / "clip_group.json"),
+            "--tl_method", "adapter",
+            "--epochs", "3",
+            "--adapter_feat_dim", "8",
+            "--num_iter", "2", "--random_seeds", "42,32",
+            "--lr_list", "0.5", "--bs_list", "32", "--bsr_list", "8",
+            "--result_root", str(tmp_path / "results_iterative"),
+        ]
+    )
+    assert sweep_main.main(args) == 0
+    csvs = list((tmp_path / "results_iterative").glob("*.csv"))
+    assert len(csvs) == 1
+    lines = csvs[0].read_text().strip().split("\n")
+    assert "worst_acc" in lines[0]
+    assert any(ln.startswith("test_mean,") for ln in lines)
+
+
+def test_shell_scripts_are_valid_bash():
+    import glob
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = glob.glob(os.path.join(repo, "scripts", "*.sh"))
+    assert scripts
+    for s in scripts:
+        proc = subprocess.run(["bash", "-n", s], capture_output=True, text=True)
+        assert proc.returncode == 0, f"{s}: {proc.stderr}"
