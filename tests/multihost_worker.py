@@ -5,7 +5,7 @@ process gets ONE local CPU device; together they form a 2-device global mesh
 over the jax.distributed runtime (localhost coordinator) — the same recipe a
 TPU pod slice uses (one process per host, ICI-global mesh).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> [local_devices]
 """
 
 import os
@@ -14,7 +14,8 @@ import sys
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    local = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local}"
 
     import jax
 
@@ -29,8 +30,8 @@ def main() -> None:
 
     multihost.initialize(f"localhost:{port}", nproc, pid)
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.devices()) == nproc  # global view
-    assert len(jax.local_devices()) == 1
+    assert len(jax.devices()) == nproc * local  # global view
+    assert len(jax.local_devices()) == local
 
     mesh = multihost.global_mesh()
 

@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
@@ -24,12 +25,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_global_batch_and_psum():
+@pytest.mark.parametrize("local_devices", [1, 2],
+                         ids=["1dev_per_proc", "2dev_per_proc"])
+def test_two_process_global_batch_and_psum(local_devices):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), "2", str(port), str(local_devices)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
