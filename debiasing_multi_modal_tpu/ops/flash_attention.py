@@ -57,9 +57,13 @@ _NEG_INF = float(-1e30)
 #   mattered: it took the kernel from 869 ms to 4.1 ms standalone.)
 # - 1k tokens: tie (2.86 ms XLA vs 2.76 ms Pallas).  4k tokens, fits-in-HBM
 #   batch: XLA wins (7.1 vs 13.9 ms at bs4).
+# - ViT-L/14@336px (S=577) in-context, batches 128 AND 512: XLA 262 imgs/s
+#   vs Pallas 189 (scripts/profile_vitl_attn.py) — even with 5.4 GB of bf16
+#   scores materialized per layer, XLA's fusion beats the kernel's grid
+#   serialization.
 # - The kernel's real role is the MEMORY enabler: the XLA path materializes
-#   a f32 [B, H, Sq, Skv] score tensor, so past a few GiB it degrades and
-#   then OOMs; the blockwise kernel never materializes it.
+#   an activation-dtype [B, H, Sq, Skv] score tensor, so past a few GiB it
+#   degrades and then OOMs; the blockwise kernel never materializes it.
 #
 # "auto" therefore takes the Pallas path only when the sequence is long AND
 # XLA's score tensor would be prohibitive; pass impl="pallas" to force.
@@ -67,7 +71,7 @@ MIN_AUTO_SEQ_LEN = 1024
 # XLA won every case that fit alongside the model (up to 8.6 GB of logits on
 # the 16 GB chip); "prohibitive" starts where the materialization would crowd
 # out weights/activations in a real program.
-SCORE_BYTES_THRESHOLD = 8 << 30  # 8 GiB of f32 attention logits
+SCORE_BYTES_THRESHOLD = 8 << 30  # 8 GiB of attention logits
 
 
 def supported(q, k, v, *, mask=None) -> bool:
@@ -79,7 +83,9 @@ def supported(q, k, v, *, mask=None) -> bool:
     if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA fuses better
         return False
     b, sq, h, _ = q.shape
-    score_bytes = 4 * b * h * sq * k.shape[1]
+    # the XLA path stores logits in the activation dtype (ops/attention.py),
+    # so bf16 activations halve the bytes the threshold must account for
+    score_bytes = jnp.dtype(q.dtype).itemsize * b * h * sq * k.shape[1]
     if score_bytes < SCORE_BYTES_THRESHOLD:  # XLA's fused path still wins
         return False
     return _HAS_PLTPU

@@ -127,9 +127,16 @@ def test_auto_dispatch_policy():
     assert not fa.supported(mk(64, 257, 16, 64), mk(64, 257, 16, 64), mk(64, 257, 16, 64))
     # long but small-batch: scores fit comfortably -> still XLA
     assert not fa.supported(mk(4, 4096, 8, 64), mk(4, 4096, 8, 64), mk(4, 4096, 8, 64))
-    # long and big: f32 scores would be 17 GiB -> Pallas (iff pltpu available)
+    # long and big: bf16 scores would be 17 GiB -> Pallas (iff pltpu available)
     big = mk(64, 4096, 8, 64)
     assert fa.supported(big, big, big) == fa._HAS_PLTPU
+    # byte accounting follows the activation dtype (the XLA path stores
+    # logits in it): the same shape in f32 crosses the threshold at half
+    # the batch
+    bf = mk(16, 4096, 8, 64)
+    assert not fa.supported(bf, bf, bf)  # 4.3 GiB bf16 scores: XLA
+    f32 = jnp.zeros((16, 4096, 8, 64), jnp.float32)
+    assert fa.supported(f32, f32, f32) == fa._HAS_PLTPU  # 8.6 GiB f32
     # additive masks and odd head dims stay on XLA
     assert not fa.supported(big, big, big, mask=jnp.zeros(()))
     odd = mk(64, 4096, 8, 80)
