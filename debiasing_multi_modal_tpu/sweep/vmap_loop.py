@@ -37,14 +37,15 @@ from debiasing_multi_modal_tpu.train.loop import (
 )
 from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
 from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
+from debiasing_multi_modal_tpu.utils.staging import DeviceCache
 from debiasing_multi_modal_tpu.utils.trees import host_copy as _host_tree
 from debiasing_multi_modal_tpu.train.steps import (
     TrainState,
-    eval_epoch,
+    eval_epoch_vmapped,
     freeze_subtrees,
     init_train_state,
     ones_mask,
-    train_epoch,
+    train_epoch_vmapped,
 )
 
 
@@ -118,52 +119,37 @@ def train_seeds_vmapped(
     history = {"train": [[] for _ in range(S)], "val": [[] for _ in range(S)],
                "test": [[] for _ in range(S)]}
 
+    # Host arrays that recur every epoch (labels, groups, text matrices,
+    # deterministic eval plans) are staged to the device ONCE — per-epoch
+    # jnp.asarray re-uploads were measured to dominate the sweep wall-clock
+    # over the remote-TPU tunnel (docs/DESIGN.md §4).
+    stage = DeviceCache()
+    eval_plans: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+
     def vm_train(module, st, split, labels, text, plansS, lrs, mask_tree):
         idxS = jnp.asarray(np.stack([p.indices for p in plansS]))
         maskS = jnp.asarray(np.stack([p.mask for p in plansS]))
-        lab = jnp.asarray(labels)
-        grp = jnp.asarray(split.group)
-        txt = jnp.asarray(text)
-        lrsj = jnp.asarray(lrs)
 
-        def one(st_i, idx_i, msk_i):
-            return train_epoch(
-                module, st_i, split.emb, lab, grp, idx_i, msk_i, lrsj, txt,
-                mask_tree,
-                n_groups=bundle.n_groups, momentum=cfg.momentum,
-                weight_decay=cfg.weight_decay,
-            )
-
-        return jax.vmap(one)(st, idxS, maskS)
+        return train_epoch_vmapped(
+            module, st, split.emb, stage(labels), stage(split.group),
+            idxS, maskS, jnp.asarray(lrs), stage(text), mask_tree,
+            n_groups=bundle.n_groups, momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay,
+        )
 
     def vm_eval(module, paramsS, statsS, split, labels, text):
-        plan = epoch_plan(len(split), eval_bs, shuffle=False)
-        lab = jnp.asarray(labels)
-        grp = jnp.asarray(split.group)
-        idx = jnp.asarray(plan.indices)
-        msk = jnp.asarray(plan.mask)
-        txt = jnp.asarray(text)
+        cached = eval_plans.get(id(split))
+        if cached is None:
+            plan = epoch_plan(len(split), eval_bs, shuffle=False)
+            cached = (jnp.asarray(plan.indices), jnp.asarray(plan.mask))
+            eval_plans[id(split)] = cached
+        idx, msk = cached
 
-        def one(p, s):
-            return eval_epoch(
-                module, p, s, split.emb, lab, grp, idx, msk, txt,
-                n_groups=bundle.n_groups,
-            )
-
-        return jax.vmap(one)(paramsS, statsS)
-
-    def stats_to_results(statsS, weighted):
-        out = []
-        for i in range(S):
-            out.append(
-                results_from_counts(
-                    np.asarray(statsS.corrects[i]),
-                    np.asarray(statsS.counts[i]),
-                    n_places=bundle.n_places,
-                    train_group_ratio=bundle.train_group_ratio if weighted else None,
-                )
-            )
-        return out
+        return eval_epoch_vmapped(
+            module, paramsS, statsS, split.emb, stage(labels),
+            stage(split.group), idx, msk, stage(text),
+            n_groups=bundle.n_groups,
+        )
 
     def make_plans(split_len, bs, orders=None, shuffle=True):
         plans = []
@@ -212,7 +198,7 @@ def train_seeds_vmapped(
                     statsS.loss_sum + reg_statsS.loss_sum,
                     statsS.n + reg_statsS.n,
                 )
-            train_res = stats_to_results(statsS, weighted=False)
+            train_statsS, train_weighted = statsS, False
         elif cfg.is_two_phase and epoch > feat_epochs:
             if epoch == feat_epochs + 1:
                 if cfg.continue_from_best and any(
@@ -269,7 +255,7 @@ def train_seeds_vmapped(
                     single, state, reg_split, labels2, text2, rplans, rlrs,
                     full_mask,
                 )
-            train_res = stats_to_results(statsS, weighted=False)
+            train_statsS, train_weighted = statsS, False
         elif cfg.tl_method == "contrastive_adapter":
             # Vmapped SupCon epoch: row construction/reshuffle consume each
             # seed's rng in the same order as the sequential loop; row counts
@@ -277,7 +263,7 @@ def train_seeds_vmapped(
             # so the stacked [S, nb, batch_factor, row_len] tensor is regular.
             from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
             from debiasing_multi_modal_tpu.train.contrastive import (
-                train_contrastive_epoch,
+                train_contrastive_epoch_vmapped,
             )
 
             if contrastive_rows is None:
@@ -311,16 +297,13 @@ def train_seeds_vmapped(
             )
             sub_mask = full_mask["adapter"]
 
-            def one_cl(st_i, rows_i):
-                return train_contrastive_epoch(
-                    mlp, st_i, bundle.train.emb, rows_i, lrsj, sub_mask,
-                    num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
-                    num_negative=cfg.num_negative,
-                    temperature=cfg.cl_temperature,
-                    momentum=cfg.momentum, weight_decay=cfg.weight_decay,
-                )
-
-            subS, _ = jax.vmap(one_cl)(subS, rowsS)
+            subS, _ = train_contrastive_epoch_vmapped(
+                mlp, subS, bundle.train.emb, rowsS, lrsj, sub_mask,
+                num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
+                num_negative=cfg.num_negative,
+                temperature=cfg.cl_temperature,
+                momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+            )
             state = TrainState(
                 {**state.params, "adapter": subS.params},
                 {**state.batch_stats, "adapter": subS.batch_stats},
@@ -328,11 +311,11 @@ def train_seeds_vmapped(
             )
             # the sequential loop reports contrastive train metrics via the
             # weighted zero-shot eval pass (_evaluate -> weighted=True)
-            train_res = stats_to_results(
-                vm_eval(single, state.params, state.batch_stats, bundle.train,
-                        train_labels, text_class),
-                weighted=True,
+            train_statsS = vm_eval(
+                single, state.params, state.batch_stats, bundle.train,
+                train_labels, text_class,
             )
+            train_weighted = True
         else:
             orders = None
             if sample_weights is not None:
@@ -346,20 +329,41 @@ def train_seeds_vmapped(
                 single, state, bundle.train, train_labels, text_class, plans,
                 lrs, full_mask,
             )
-            train_res = stats_to_results(statsS, weighted=False)
+            train_statsS, train_weighted = statsS, False
 
         in_ma = cfg.add_adapter and cfg.is_two_phase and epoch > feat_epochs
         module = multiple if in_ma else single
         cur = ma_state if in_ma else state
-        val_res = stats_to_results(
-            vm_eval(module, cur.params, cur.batch_stats, val_split, val_labels, text_class),
-            weighted=True,
+        val_statsS = vm_eval(
+            module, cur.params, cur.batch_stats, val_split, val_labels,
+            text_class,
         )
-        test_res = stats_to_results(
-            vm_eval(module, cur.params, cur.batch_stats, bundle.test,
-                    test_labels_cls, text_class),
-            weighted=True,
+        test_statsS = vm_eval(
+            module, cur.params, cur.batch_stats, bundle.test,
+            test_labels_cls, text_class,
         )
+        # ONE host fetch for the epoch's train/val/test counters (each
+        # device_get is a tunnel round trip; 3 beats the old 6*S)
+        counts = jax.device_get(
+            [(t.corrects, t.counts)
+             for t in (train_statsS, val_statsS, test_statsS)]
+        )
+
+        def _res(fc, weighted):
+            corr, cnt = fc
+            return [
+                results_from_counts(
+                    corr[i], cnt[i], n_places=bundle.n_places,
+                    train_group_ratio=(
+                        bundle.train_group_ratio if weighted else None
+                    ),
+                )
+                for i in range(S)
+            ]
+
+        train_res = _res(counts[0], train_weighted)
+        val_res = _res(counts[1], True)
+        test_res = _res(counts[2], True)
         for i in range(S):
             history["train"][i].append(ordered(train_res[i]))
             history["val"][i].append(ordered(val_res[i]))
@@ -424,10 +428,10 @@ def train_seeds_vmapped(
                 [jax.tree.map(jnp.asarray, best["stats"][i]) for i in rows]
             )
             statsS = vm_eval(module, p, s, bundle.test, labels, text)
+            corr, cnt = jax.device_get((statsS.corrects, statsS.counts))
             res = [
                 results_from_counts(
-                    np.asarray(statsS.corrects[j]),
-                    np.asarray(statsS.counts[j]),
+                    corr[j], cnt[j],
                     n_places=bundle.n_places,
                     train_group_ratio=bundle.train_group_ratio,
                 )

@@ -28,14 +28,7 @@ from debiasing_multi_modal_tpu.train.losses import supcon_loss
 from debiasing_multi_modal_tpu.train.steps import TrainState, _sgd
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "module", "num_anchor", "num_positive", "num_negative",
-        "temperature", "momentum", "weight_decay",
-    ),
-)
-def train_contrastive_epoch(
+def _train_contrastive_epoch_impl(
     module,  # AdapterMLP
     state: TrainState,
     embeddings: jax.Array,  # [N, D]
@@ -80,3 +73,43 @@ def train_contrastive_epoch(
 
     state, losses = jax.lax.scan(body, state, (rows, lrs))
     return state, losses
+
+
+_CL_STATICS = (
+    "module", "num_anchor", "num_positive", "num_negative",
+    "temperature", "momentum", "weight_decay",
+)
+
+train_contrastive_epoch = functools.partial(
+    jax.jit, static_argnames=_CL_STATICS
+)(_train_contrastive_epoch_impl)
+
+
+@functools.partial(jax.jit, static_argnames=_CL_STATICS)
+def train_contrastive_epoch_vmapped(
+    module,
+    state: TrainState,  # leading seed axis
+    embeddings: jax.Array,  # shared
+    rows: jax.Array,  # [S, nb, rows_per_step, A+P+Nn] per-seed shuffles
+    lrs: jax.Array,  # [nb] shared schedule
+    train_mask,  # scalar-leaf 0/1 pytree, shared
+    *,
+    num_anchor: int,
+    num_positive: int,
+    num_negative: int,
+    temperature: float = 0.1,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-5,
+) -> Tuple[TrainState, jax.Array]:
+    """S seeds' SupCon epochs in one compiled program (module-level jit —
+    see steps.train_epoch_vmapped for why)."""
+
+    def one(st, rows_i):
+        return _train_contrastive_epoch_impl(
+            module, st, embeddings, rows_i, lrs, train_mask,
+            num_anchor=num_anchor, num_positive=num_positive,
+            num_negative=num_negative, temperature=temperature,
+            momentum=momentum, weight_decay=weight_decay,
+        )
+
+    return jax.vmap(one)(state, rows)

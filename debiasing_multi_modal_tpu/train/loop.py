@@ -55,6 +55,7 @@ from debiasing_multi_modal_tpu.models.adapter import (
 )
 from debiasing_multi_modal_tpu.train.config import TrainConfig
 from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
+from debiasing_multi_modal_tpu.utils.staging import DeviceCache
 from debiasing_multi_modal_tpu.utils.trees import host_copy as _host_copy
 from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
 from debiasing_multi_modal_tpu.train.steps import (
@@ -229,18 +230,29 @@ def _evaluate(
     text: np.ndarray,
     batch_size: int,
     bundle: DataBundle,
+    stage=jnp.asarray,
+    plan_cache: Optional[dict] = None,
 ) -> Dict[str, float]:
-    plan = epoch_plan(len(split), batch_size, shuffle=False)
+    """``stage``/``plan_cache`` let a driver reuse device-resident constants
+    across epochs (utils/staging.DeviceCache) — per-epoch re-uploads over the
+    remote-TPU tunnel were measured to dominate wall-clock (DESIGN.md §4)."""
+    key = (id(split), batch_size)
+    cached = None if plan_cache is None else plan_cache.get(key)
+    if cached is None:
+        plan = epoch_plan(len(split), batch_size, shuffle=False)
+        cached = (jnp.asarray(plan.indices), jnp.asarray(plan.mask))
+        if plan_cache is not None:
+            plan_cache[key] = cached
     stats = eval_epoch(
         module,
         state_params,
         state_stats,
         split.emb,
-        jnp.asarray(labels),
-        jnp.asarray(split.group),
-        jnp.asarray(plan.indices),
-        jnp.asarray(plan.mask),
-        jnp.asarray(text),
+        stage(labels),
+        stage(split.group),
+        cached[0],
+        cached[1],
+        stage(text),
         n_groups=bundle.n_groups,
     )
     return _stats_to_results(stats, bundle, weighted=True)
@@ -370,6 +382,10 @@ def train_all_epochs(
             return multiple, ma_state
         return single, state
 
+    # stage recurring host constants once (see _evaluate docstring)
+    stage = DeviceCache()
+    plan_cache: dict = {}
+
     def run_train(sub_state, module, split, labels, text, bs, lrs_phase, epoch,
                   order, mask_tree):
         plan = epoch_plan(len(split), bs, shuffle=order is None, rng=rng, order=order)
@@ -378,12 +394,12 @@ def train_all_epochs(
             module,
             sub_state,
             split.emb,
-            jnp.asarray(labels),
-            jnp.asarray(split.group),
+            stage(labels),
+            stage(split.group),
             jnp.asarray(plan.indices),
             jnp.asarray(plan.mask),
             jnp.asarray(lrs),
-            jnp.asarray(text),
+            stage(text),
             mask_tree,
             n_groups=bundle.n_groups,
             momentum=cfg.momentum,
@@ -533,6 +549,7 @@ def train_all_epochs(
             train_res = _evaluate(
                 single, state.params, state.batch_stats, bundle.train,
                 train_labels, text_class, cfg.batch_size, bundle,
+                stage=stage, plan_cache=plan_cache,
             )
         else:
             # plain ERM epoch (linear_probing / adapter / phase 1)
@@ -551,11 +568,11 @@ def train_all_epochs(
         module, cur = current_module_and_state(epoch)
         val_res = _evaluate(
             module, cur.params, cur.batch_stats, val_split, val_labels,
-            text_class, eval_bs, bundle,
+            text_class, eval_bs, bundle, stage=stage, plan_cache=plan_cache,
         )
         test_res = _evaluate(
             module, cur.params, cur.batch_stats, bundle.test, test_labels_cls,
-            text_class, eval_bs, bundle,
+            text_class, eval_bs, bundle, stage=stage, plan_cache=plan_cache,
         )
         history["train"].append(ordered(train_res))
         history["val"].append(ordered(val_res))

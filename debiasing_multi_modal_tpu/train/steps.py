@@ -79,11 +79,7 @@ class EpochStats(NamedTuple):
     n: jax.Array  # total valid examples
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("module", "n_groups", "momentum", "weight_decay"),
-)
-def train_epoch(
+def _train_epoch_impl(
     module,
     state: TrainState,
     embeddings: jax.Array,  # [N, D] resident on device
@@ -149,8 +145,48 @@ def train_epoch(
     return state, stats
 
 
-@functools.partial(jax.jit, static_argnames=("module", "n_groups"))
-def eval_epoch(
+train_epoch = functools.partial(
+    jax.jit, static_argnames=("module", "n_groups", "momentum", "weight_decay")
+)(_train_epoch_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("module", "n_groups", "momentum", "weight_decay"),
+)
+def train_epoch_vmapped(
+    module,
+    state: TrainState,  # leading seed axis on every leaf
+    embeddings: jax.Array,  # shared across seeds
+    labels: jax.Array,
+    groups: jax.Array,
+    idx: jax.Array,  # [S, nb, B] per-seed shuffles
+    mask: jax.Array,  # [S, nb, B]
+    lrs: jax.Array,  # [nb] shared schedule
+    text: jax.Array,
+    train_mask: Any,  # scalar-leaf 0/1 pytree, shared
+    *,
+    n_groups: int = 4,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-5,
+) -> Tuple[TrainState, EpochStats]:
+    """S seeds train simultaneously: one compiled program per (shape, module).
+
+    Module-level jit so every epoch of every sweep reuses the same cache
+    entry — a per-epoch ``jax.vmap`` closure would re-trace each call.
+    """
+
+    def one(st, idx_i, msk_i):
+        return _train_epoch_impl(
+            module, st, embeddings, labels, groups, idx_i, msk_i, lrs, text,
+            train_mask, n_groups=n_groups, momentum=momentum,
+            weight_decay=weight_decay,
+        )
+
+    return jax.vmap(one)(state, idx, mask)
+
+
+def _eval_epoch_impl(
     module,
     params,
     batch_stats,
@@ -198,3 +234,31 @@ def eval_epoch(
     )
     stats, _ = jax.lax.scan(body, zeros, (idx, mask))
     return stats
+
+
+eval_epoch = functools.partial(jax.jit, static_argnames=("module", "n_groups"))(
+    _eval_epoch_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("module", "n_groups"))
+def eval_epoch_vmapped(
+    module,
+    params,  # leading seed axis
+    batch_stats,  # leading seed axis
+    embeddings: jax.Array,  # shared (deterministic eval plan: idx/mask too)
+    labels: jax.Array,
+    groups: jax.Array,
+    idx: jax.Array,
+    mask: jax.Array,
+    text: jax.Array,
+    *,
+    n_groups: int = 4,
+) -> EpochStats:
+    def one(p, s):
+        return _eval_epoch_impl(
+            module, p, s, embeddings, labels, groups, idx, mask, text,
+            n_groups=n_groups,
+        )
+
+    return jax.vmap(one)(params, batch_stats)

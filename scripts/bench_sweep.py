@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Wall-clock of the vmapped multi-seed sweep at Waterbirds scale on TPU.
+
+Runs the best-WB two-phase config (seq-alter + MultipleAdapter, bs 1024,
+bsr 256) over a synthetic bundle shaped like the real dataset (4,795 train /
+1,199 val / 5,794 test embeddings, D=1024) for the given seed counts and
+prints seconds per run plus per-epoch wall after the first epoch (the
+compile epoch).  Feeds the vmap-scaling numbers in docs/DESIGN.md §4.
+
+    python scripts/bench_sweep.py [epochs] [seed_counts...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    seed_counts = [int(a) for a in sys.argv[2:]] or [3, 32]
+
+    from debiasing_multi_modal_tpu.data.groups import GroupTable
+    from debiasing_multi_modal_tpu.data.synthetic import (
+        SyntheticSpec, make_synthetic_dataset,
+    )
+    from debiasing_multi_modal_tpu.sweep.runner import run_seeds
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table
+
+    spec = SyntheticSpec(dim=1024, n_train=4795, n_val=1199, n_test=5794)
+    meta, table, tc, tg, ts = make_synthetic_dataset(spec)
+    mbs = {
+        name: GroupTable(
+            filenames=meta.filenames[meta.split == sid],
+            y=meta.y[meta.split == sid],
+            place=meta.place[meta.split == sid],
+            split=meta.split[meta.split == sid],
+        )
+        for name, sid in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
+
+    cfg = TrainConfig(
+        dataset="waterbirds", input_dim=1024, adapter_feat_dim=128,
+        tl_method="adapter_reg_seq_alter", epochs=epochs,
+        epochs_feature_learning=epochs // 2,
+        batch_size=1024, batch_size_reg=256,
+        learning_rate=1.0, learning_rate_reg=1.0,
+        lr_decay_epochs=(max(1, int(epochs * 0.9)), max(2, int(epochs * 0.95))),
+        add_adapter=True, init_near_identity=True, continue_from_best=True,
+    )
+
+    for s in seed_counts:
+        seeds = list(range(42, 42 + s))
+        t0 = time.perf_counter()
+        res = run_seeds(cfg, bundle, seeds, use_vmap=True)
+        dt = time.perf_counter() - t0
+        worst = [r[0][2]["worst_acc"] for r in res]
+        print(
+            f"seeds={s:3d}  {dt:7.1f} s total  {dt / epochs:6.2f} s/epoch  "
+            f"{dt / (s * epochs):7.3f} s/seed-epoch  "
+            f"test worst mean {np.mean(worst):.4f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
