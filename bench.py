@@ -30,6 +30,13 @@ def main():
     from debiasing_multi_modal_tpu.extract.runner import ExtractionRunner
     from debiasing_multi_modal_tpu.models import create_clip, init_clip
     from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    # steady-state throughput is measured post-compile either way; the cache
+    # only removes repeated ~10 s/program compile latency from re-runs
+    enable_persistent_cache()
 
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)

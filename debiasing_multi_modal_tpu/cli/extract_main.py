@@ -69,6 +69,12 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     from debiasing_multi_modal_tpu.data.embeddings_store import (
         save_embeddings,
         save_text_embeddings,

@@ -28,6 +28,11 @@ def extend_parser(p):
 def main(args):
     from debiasing_multi_modal_tpu.sweep.runner import run_sweep
     from debiasing_multi_modal_tpu.train.loop import bundle_from_files
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     cfg = config_from_args(args)
     seeds = [int(s) for s in args.random_seeds.split(",")][: args.num_iter]

@@ -129,6 +129,11 @@ def config_from_args(args):
 
 def main(args):
     from debiasing_multi_modal_tpu.train.loop import bundle_from_files, train_all_epochs
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     cfg = config_from_args(args)
     print(f"> Start Transfer Learning using [{cfg.tl_method}]")

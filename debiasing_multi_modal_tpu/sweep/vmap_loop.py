@@ -38,7 +38,6 @@ from debiasing_multi_modal_tpu.train.loop import (
 from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
 from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
 from debiasing_multi_modal_tpu.utils.staging import DeviceCache
-from debiasing_multi_modal_tpu.utils.trees import host_copy as _host_tree
 from debiasing_multi_modal_tpu.train.steps import (
     TrainState,
     eval_epoch_vmapped,
@@ -49,8 +48,44 @@ from debiasing_multi_modal_tpu.train.steps import (
 )
 
 
-def _tree_stack(trees):
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+@jax.jit
+def _select_rows(base, update, mask):
+    """Per-seed masked snapshot: rows of ``update`` where ``mask``, else
+    ``base``.  Both trees carry a leading seed axis; mask is [S] bool.
+
+    This keeps best-model bookkeeping ON DEVICE: with tens of seeds some
+    seed improves almost every epoch, and the previous host-side snapshot
+    (device_get of the full stacked state) was measured to dominate the
+    sweep's per-epoch wall over the remote-TPU tunnel (docs/DESIGN.md §4).
+    """
+
+    def sel(b, u):
+        return jnp.where(mask.reshape((-1,) + (1,) * (u.ndim - 1)), u, b)
+
+    return jax.tree.map(sel, base, update)
+
+
+@jax.jit
+def _take_rows(tree, rows):
+    """Gather a subset of seed rows from a stacked tree (one program)."""
+    return jax.tree.map(lambda a: a[rows], tree)
+
+
+def _init_stacked(module, cfg, keys, n_cls):
+    """Per-seed ``split`` + flax ``init`` as ONE jitted vmapped program.
+
+    Un-jitted flax init dispatches hundreds of tiny ops per seed — over the
+    tunnel that costs seconds per seed (CLAUDE.md environment rules).  Key
+    consumption order matches the sequential loop: one split per seed, init
+    on the second half.
+    """
+
+    def one(k):
+        k_next, init_key = jax.random.split(k)
+        p, s = _init_variables(module, cfg, init_key, n_cls)
+        return k_next, p, s
+
+    return jax.jit(jax.vmap(one))(keys)
 
 
 def train_seeds_vmapped(
@@ -64,7 +99,8 @@ def train_seeds_vmapped(
     the sequential loop produces."""
     S = len(seeds)
     rngs = [np.random.default_rng(s) for s in seeds]
-    keys = [jax.random.PRNGKey(s) for s in seeds]
+    # stacked [S]-leading key array; one program instead of S host dispatches
+    keysS = jax.jit(jax.vmap(jax.random.PRNGKey))(np.asarray(seeds, np.uint32))
 
     if cfg.is_reg_method:
         reg_idx, val_idx = stratified_split_indices(bundle.val.group, 0.5, seed=42)
@@ -84,14 +120,9 @@ def train_seeds_vmapped(
     single = make_classifier(cfg)
     multiple = make_multiple_classifier(cfg) if cfg.add_adapter else None
 
-    inits = []
-    for i in range(S):
-        keys[i], init_key = jax.random.split(keys[i])
-        inits.append(_init_variables(single, cfg, init_key, cfg.n_cls))
-    params = _tree_stack([p for p, _ in inits])
-    stats = _tree_stack([s for _, s in inits])
+    keysS, params, stats = _init_stacked(single, cfg, keysS, cfg.n_cls)
     state = init_train_state(params, stats)
-    full_mask = ones_mask(inits[0][0])  # scalar-leaf mask, shared across seeds
+    full_mask = ones_mask(params)  # scalar-leaf mask, shared across seeds
 
     ma_state: Optional[TrainState] = None
     ma_mask = None
@@ -105,16 +136,17 @@ def train_seeds_vmapped(
     text_class, text_group = bundle.text_class, bundle.text_group
     feat_epochs = cfg.epochs_feature_learning or cfg.epochs
 
-    # Per-seed best snapshots (kept unstacked: a seed's best may predate the
-    # MultipleAdapter switch while another's postdates it, so tree structures
-    # can differ across seeds).
+    # Per-seed best bookkeeping: scalar records on host, parameter snapshots
+    # ON DEVICE (see _select_rows).  Two stacked snapshot pairs, one per tree
+    # structure — a seed's best may predate the MultipleAdapter switch while
+    # another's postdates it; best["multiple"][i] routes the final read.
+    # Unselected rows hold stale values and are never read.
     best = {
         "acc": np.zeros(S),
         "epoch": np.zeros(S, np.int64),
-        "params": [None] * S,
-        "stats": [None] * S,
         "multiple": np.zeros(S, bool),
     }
+    dev_best = {False: None, True: None}  # kind -> (params, batch_stats)
     contrastive_rows = None  # per-seed row matrices (same shape across seeds)
     history = {"train": [[] for _ in range(S)], "val": [[] for _ in range(S)],
                "test": [[] for _ in range(S)]}
@@ -201,42 +233,35 @@ def train_seeds_vmapped(
             train_statsS, train_weighted = statsS, False
         elif cfg.is_two_phase and epoch > feat_epochs:
             if epoch == feat_epochs + 1:
-                if cfg.continue_from_best and any(
-                    p is not None for p in best["params"]
-                ):
+                if cfg.continue_from_best and (best["epoch"] > 0).any():
                     # per-seed semantics (mirrors the sequential loop): seeds
                     # with a best snapshot load it; the rest keep their
                     # current phase-1 state.  All phase-1 snapshots share the
-                    # single-adapter structure.
-                    cur_p = _host_tree(state.params)
-                    cur_s = _host_tree(state.batch_stats)
-                    picked_p, picked_s = [], []
-                    for i in range(S):
-                        if best["params"][i] is not None:
-                            picked_p.append(jax.tree.map(jnp.asarray, best["params"][i]))
-                            picked_s.append(jax.tree.map(jnp.asarray, best["stats"][i]))
-                        else:
-                            picked_p.append(jax.tree.map(lambda a: jnp.asarray(a[i]), cur_p))
-                            picked_s.append(jax.tree.map(lambda a: jnp.asarray(a[i]), cur_s))
+                    # single-adapter structure, so one masked select suffices
+                    # — no host round trip.
+                    has1 = jnp.asarray(best["epoch"] > 0)
+                    bp, bsts = dev_best[False]
                     state = init_train_state(
-                        _tree_stack(picked_p), _tree_stack(picked_s)
+                        _select_rows(state.params, bp, has1),
+                        _select_rows(state.batch_stats, bsts, has1),
                     )
                 if cfg.add_adapter:
-                    ma_inits = []
-                    for i in range(S):
-                        keys[i], k_new = jax.random.split(keys[i])
-                        ma_inits.append(_init_variables(multiple, cfg, k_new, cfg.n_cls))
-                    ma_params = dict(_tree_stack([p for p, _ in ma_inits]))
-                    ma_stats = dict(_tree_stack([s for _, s in ma_inits]))
-                    old_p = _host_tree(state.params)["adapter"]
-                    old_s = _host_tree(state.batch_stats)["adapter"]
-                    ma_params["old"] = jax.tree.map(jnp.asarray, old_p)
-                    ma_stats["old"] = jax.tree.map(jnp.asarray, old_s)
+                    keysS, ma_params, ma_stats = _init_stacked(
+                        multiple, cfg, keysS, cfg.n_cls
+                    )
+                    ma_params = dict(ma_params)
+                    ma_stats = dict(ma_stats)
+                    # device arrays are immutable — aliasing the old branch
+                    # is snapshot-safe without a host copy
+                    old_p = state.params["adapter"]
+                    old_s = state.batch_stats["adapter"]
+                    ma_params["old"] = old_p
+                    ma_stats["old"] = old_s
                     if cfg.init_near_identity:
-                        ma_params["new"] = jax.tree.map(jnp.asarray, old_p)
-                        ma_stats["new"] = jax.tree.map(jnp.asarray, old_s)
+                        ma_params["new"] = old_p
+                        ma_stats["new"] = old_s
                     ma_state = init_train_state(ma_params, ma_stats)
-                    ma_mask = freeze_subtrees(ma_inits[0][0], ("old",))
+                    ma_mask = freeze_subtrees(ma_params, ("old",))
                 else:
                     state = init_train_state(state.params, state.batch_stats)
 
@@ -374,11 +399,12 @@ def train_seeds_vmapped(
         worst = np.asarray([v["worst_acc"] for v in val_res])
         improved = worst > best["acc"]
         if improved.any():
-            cur_params = _host_tree(cur.params)
-            cur_stats = _host_tree(cur.batch_stats)
-            for i in np.where(improved)[0]:
-                best["params"][i] = jax.tree.map(lambda a: np.copy(a[i]), cur_params)
-                best["stats"][i] = jax.tree.map(lambda a: np.copy(a[i]), cur_stats)
+            m = jnp.asarray(improved)
+            base = dev_best[in_ma] or (cur.params, cur.batch_stats)
+            dev_best[in_ma] = (
+                _select_rows(base[0], cur.params, m),
+                _select_rows(base[1], cur.batch_stats, m),
+            )
             best["acc"] = np.where(improved, worst, best["acc"])
             best["epoch"] = np.where(improved, epoch, best["epoch"])
             best["multiple"] = np.where(improved, in_ma, best["multiple"])
@@ -388,14 +414,16 @@ def train_seeds_vmapped(
     # sequential loop's degenerate-run fallback).
     final_in_ma = cfg.add_adapter and cfg.is_two_phase and cfg.epochs > feat_epochs
     final_state = ma_state if final_in_ma else state
-    final_params = _host_tree(final_state.params)
-    final_stats = _host_tree(final_state.batch_stats)
-    for i in range(S):
-        if best["params"][i] is None:
-            best["params"][i] = jax.tree.map(lambda a: a[i], final_params)
-            best["stats"][i] = jax.tree.map(lambda a: a[i], final_stats)
-            best["multiple"][i] = final_in_ma
-            best["epoch"][i] = cfg.epochs
+    never = best["epoch"] == 0
+    if never.any():
+        m = jnp.asarray(never)
+        base = dev_best[final_in_ma] or (final_state.params, final_state.batch_stats)
+        dev_best[final_in_ma] = (
+            _select_rows(base[0], final_state.params, m),
+            _select_rows(base[1], final_state.batch_stats, m),
+        )
+        best["multiple"] = np.where(never, final_in_ma, best["multiple"])
+        best["epoch"] = np.where(never, cfg.epochs, best["epoch"])
 
     def zs(target):
         text = bundle.text_class if target == "class" else bundle.text_spurious
@@ -421,12 +449,9 @@ def train_seeds_vmapped(
             if not rows:
                 continue
             module = multiple if kind else single
-            p = _tree_stack(
-                [jax.tree.map(jnp.asarray, best["params"][i]) for i in rows]
-            )
-            s = _tree_stack(
-                [jax.tree.map(jnp.asarray, best["stats"][i]) for i in rows]
-            )
+            ridx = jnp.asarray(np.asarray(rows, np.int32))
+            p = _take_rows(dev_best[kind][0], ridx)
+            s = _take_rows(dev_best[kind][1], ridx)
             statsS = vm_eval(module, p, s, bundle.test, labels, text)
             corr, cnt = jax.device_get((statsS.corrects, statsS.counts))
             res = [

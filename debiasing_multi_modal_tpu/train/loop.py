@@ -56,7 +56,6 @@ from debiasing_multi_modal_tpu.models.adapter import (
 from debiasing_multi_modal_tpu.train.config import TrainConfig
 from debiasing_multi_modal_tpu.train.metrics import ordered, results_from_counts
 from debiasing_multi_modal_tpu.utils.staging import DeviceCache
-from debiasing_multi_modal_tpu.utils.trees import host_copy as _host_copy
 from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
 from debiasing_multi_modal_tpu.train.steps import (
     EpochStats,
@@ -459,16 +458,18 @@ def train_all_epochs(
                     ma_params, ma_stats = _init_variables(
                         multiple, cfg, key_new, cfg.n_cls
                     )
-                    old_p = _host_copy(state.params["adapter"])
-                    old_s = _host_copy(state.batch_stats["adapter"])
+                    # device arrays are immutable: referencing the old
+                    # branch IS a snapshot — no host round trip needed
+                    old_p = state.params["adapter"]
+                    old_s = state.batch_stats["adapter"]
                     ma_params = dict(ma_params)
                     ma_stats = dict(ma_stats)
-                    ma_params["old"] = jax.tree.map(jnp.asarray, old_p)
-                    ma_stats["old"] = jax.tree.map(jnp.asarray, old_s)
+                    ma_params["old"] = old_p
+                    ma_stats["old"] = old_s
                     if cfg.init_near_identity:
                         log("Initialize [New adapter] from [Old adapter]")
-                        ma_params["new"] = jax.tree.map(jnp.asarray, old_p)
-                        ma_stats["new"] = jax.tree.map(jnp.asarray, old_s)
+                        ma_params["new"] = old_p
+                        ma_stats["new"] = old_s
                     ma_state = init_train_state(ma_params, ma_stats)
                     ma_mask = freeze_subtrees(ma_params, ("old",))
                 else:
@@ -582,11 +583,14 @@ def train_all_epochs(
         log("Test:", ordered(test_res))
 
         if val_res["worst_acc"] > best["acc"]:
+            # immutable device trees: holding the reference snapshots the
+            # epoch without a tunnel round trip (checkpointing still hosts
+            # a copy on its own schedule)
             best.update(
                 acc=val_res["worst_acc"],
                 epoch=epoch,
-                params=_host_copy(cur.params),
-                stats=_host_copy(cur.batch_stats),
+                params=cur.params,
+                stats=cur.batch_stats,
                 multiple=module is multiple,
             )
 
@@ -628,8 +632,8 @@ def train_all_epochs(
         module, cur = current_module_and_state(cfg.epochs)
         best.update(
             epoch=cfg.epochs,
-            params=_host_copy(cur.params),
-            stats=_host_copy(cur.batch_stats),
+            params=cur.params,
+            stats=cur.batch_stats,
             multiple=module is multiple,
         )
 

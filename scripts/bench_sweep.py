@@ -24,6 +24,11 @@ def main():
     seed_counts = [int(a) for a in sys.argv[2:]] or [3, 32]
 
     from debiasing_multi_modal_tpu.data.groups import GroupTable
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from debiasing_multi_modal_tpu.data.synthetic import (
         SyntheticSpec, make_synthetic_dataset,
     )

@@ -54,3 +54,20 @@ def test_staged_values_usable_under_jit():
     host = np.arange(8, dtype=np.float32)
     out = jax.jit(lambda v: v * 2)(cache(host))
     np.testing.assert_array_equal(np.asarray(out), host * 2)
+
+
+def test_enable_persistent_cache(tmp_path):
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    target = str(tmp_path / "xla_cache")
+    got = enable_persistent_cache(target, min_compile_secs=0.25)
+    assert got == target
+    assert jax.config.jax_compilation_cache_dir == target
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.25
+    import os
+
+    assert os.path.isdir(target)
+    # idempotent
+    assert enable_persistent_cache(target) == target
