@@ -30,10 +30,14 @@ def run_seeds(
     seeds: Sequence[int],
     use_vmap: bool = True,
     verbose: bool = False,
+    mesh=None,
 ):
-    """Per-seed result tuples ((train, val, test), (zs_class, zs_spurious))."""
+    """Per-seed result tuples ((train, val, test), (zs_class, zs_spurious)).
+
+    ``mesh`` (vmapped path only) shards the seed axis across devices —
+    see ``train_seeds_vmapped``."""
     if use_vmap:
-        return train_seeds_vmapped(cfg, bundle, seeds, verbose=verbose)
+        return train_seeds_vmapped(cfg, bundle, seeds, verbose=verbose, mesh=mesh)
     out = []
     for seed in seeds:
         res = train_all_epochs(cfg.replace(random_seed=seed), bundle, verbose=verbose)

@@ -93,12 +93,43 @@ def train_seeds_vmapped(
     bundle: DataBundle,
     seeds: Sequence[int],
     verbose: bool = False,
+    mesh=None,
 ):
     """Train all seeds simultaneously; returns a list (per seed) of the same
     ``((best_train, best_val, best_test), (zs_class, zs_spurious))`` tuples
-    the sequential loop produces."""
+    the sequential loop produces.
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` whose first axis is ``data``),
+    the leading SEED axis is sharded across devices: seeds are independent,
+    so an N-seed sweep scales embarrassingly over N chips — the multi-chip
+    form the reference's one-GPU-per-seed Python loop cannot take.  XLA
+    partitions every epoch program from the input shardings; no collectives
+    are needed until the tiny per-epoch count fetch.  ``len(seeds)`` must be
+    divisible by the mesh's ``data``-axis size.
+    """
     S = len(seeds)
     rngs = [np.random.default_rng(s) for s in seeds]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = mesh.shape["data"]
+        if S % n_data:
+            raise ValueError(
+                f"len(seeds)={S} must divide over the mesh data axis ({n_data})"
+            )
+        seed_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def place(tree):  # shard the leading seed axis
+            return jax.device_put(tree, seed_sharding)
+
+        stage_put = lambda a: jax.device_put(jnp.asarray(a), replicated)  # noqa: E731
+    else:
+        def place(tree):
+            return tree
+
+        stage_put = None
+
     # stacked [S]-leading key array; one program instead of S host dispatches
     keysS = jax.jit(jax.vmap(jax.random.PRNGKey))(np.asarray(seeds, np.uint32))
 
@@ -121,6 +152,7 @@ def train_seeds_vmapped(
     multiple = make_multiple_classifier(cfg) if cfg.add_adapter else None
 
     keysS, params, stats = _init_stacked(single, cfg, keysS, cfg.n_cls)
+    params, stats = place((params, stats))
     state = init_train_state(params, stats)
     full_mask = ones_mask(params)  # scalar-leaf mask, shared across seeds
 
@@ -155,15 +187,15 @@ def train_seeds_vmapped(
     # deterministic eval plans) are staged to the device ONCE — per-epoch
     # jnp.asarray re-uploads were measured to dominate the sweep wall-clock
     # over the remote-TPU tunnel (docs/DESIGN.md §4).
-    stage = DeviceCache()
+    stage = DeviceCache(put=stage_put)
     eval_plans: Dict[int, Tuple[jax.Array, jax.Array]] = {}
 
     def vm_train(module, st, split, labels, text, plansS, lrs, mask_tree):
-        idxS = jnp.asarray(np.stack([p.indices for p in plansS]))
-        maskS = jnp.asarray(np.stack([p.mask for p in plansS]))
+        idxS = place(jnp.asarray(np.stack([p.indices for p in plansS])))
+        maskS = place(jnp.asarray(np.stack([p.mask for p in plansS])))
 
         return train_epoch_vmapped(
-            module, st, split.emb, stage(labels), stage(split.group),
+            module, st, stage(split.emb), stage(labels), stage(split.group),
             idxS, maskS, jnp.asarray(lrs), stage(text), mask_tree,
             n_groups=bundle.n_groups, momentum=cfg.momentum,
             weight_decay=cfg.weight_decay,
@@ -173,12 +205,12 @@ def train_seeds_vmapped(
         cached = eval_plans.get(id(split))
         if cached is None:
             plan = epoch_plan(len(split), eval_bs, shuffle=False)
-            cached = (jnp.asarray(plan.indices), jnp.asarray(plan.mask))
+            cached = (stage(plan.indices), stage(plan.mask))
             eval_plans[id(split)] = cached
         idx, msk = cached
 
         return eval_epoch_vmapped(
-            module, paramsS, statsS, split.emb, stage(labels),
+            module, paramsS, statsS, stage(split.emb), stage(labels),
             stage(split.group), idx, msk, stage(text),
             n_groups=bundle.n_groups,
         )
@@ -249,8 +281,8 @@ def train_seeds_vmapped(
                     keysS, ma_params, ma_stats = _init_stacked(
                         multiple, cfg, keysS, cfg.n_cls
                     )
-                    ma_params = dict(ma_params)
-                    ma_stats = dict(ma_stats)
+                    ma_params = dict(place(ma_params))
+                    ma_stats = dict(place(ma_stats))
                     # device arrays are immutable — aliasing the old branch
                     # is snapshot-safe without a host copy
                     old_p = state.params["adapter"]
@@ -312,7 +344,7 @@ def train_seeds_vmapped(
                 r = contrastive_rows[i][rngs[i].permutation(len(contrastive_rows[i]))]
                 nb = max(len(r) // cfg.batch_factor, 1)
                 rowsS.append(r[: nb * cfg.batch_factor].reshape(nb, cfg.batch_factor, -1))
-            rowsS = jnp.asarray(np.stack(rowsS))
+            rowsS = place(jnp.asarray(np.stack(rowsS)))
             lrsj = jnp.asarray(epoch_batch_lrs(cfg, epoch, rowsS.shape[1], 1))
             mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
             subS = TrainState(
@@ -323,7 +355,7 @@ def train_seeds_vmapped(
             sub_mask = full_mask["adapter"]
 
             subS, _ = train_contrastive_epoch_vmapped(
-                mlp, subS, bundle.train.emb, rowsS, lrsj, sub_mask,
+                mlp, subS, stage(bundle.train.emb), rowsS, lrsj, sub_mask,
                 num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
                 num_negative=cfg.num_negative,
                 temperature=cfg.cl_temperature,

@@ -9,12 +9,15 @@ the per-epoch re-uploads were measured to dominate the sweep wall-clock
 and returns the resident device array on every later call.
 
 The cache holds a reference to the host array, so an ``id()`` can never be
-recycled while its entry is alive.  Device arrays pass through untouched.
+recycled while its entry is alive.  With the default ``put``, device arrays
+pass through untouched; a custom ``put`` (e.g. replication over a mesh via
+``jax.device_put(a, NamedSharding(mesh, P()))``) is applied to device
+arrays too, once per distinct input.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,15 +27,17 @@ import numpy as np
 class DeviceCache:
     """Callable: ``cache(host_array) -> device_array`` (staged at most once)."""
 
-    def __init__(self) -> None:
+    def __init__(self, put: Optional[Callable[[Any], jax.Array]] = None) -> None:
         self._cache: Dict[int, Tuple[Any, jax.Array]] = {}
+        self._put = put or jnp.asarray
+        self._passthrough = put is None
 
     def __call__(self, arr) -> jax.Array:
-        if isinstance(arr, jax.Array):
+        if self._passthrough and isinstance(arr, jax.Array):
             return arr
         got = self._cache.get(id(arr))
         if got is None or got[0] is not arr:
-            got = (arr, jnp.asarray(arr))
+            got = (arr, self._put(arr))
             self._cache[id(arr)] = got
         return got[1]
 

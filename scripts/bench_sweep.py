@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Wall-clock of the vmapped multi-seed sweep at Waterbirds scale on TPU.
+"""Wall-clock of the vmapped multi-seed sweep at real-dataset scale on TPU.
 
-Runs the best-WB two-phase config (seq-alter + MultipleAdapter, bs 1024,
-bsr 256) over a synthetic bundle shaped like the real dataset (4,795 train /
-1,199 val / 5,794 test embeddings, D=1024) for the given seed counts and
-prints seconds per run plus per-epoch wall after the first epoch (the
-compile epoch).  Feeds the vmap-scaling numbers in docs/DESIGN.md §4.
+Runs the best two-phase config (seq-alter + MultipleAdapter, bs 1024,
+bsr 256) over a synthetic bundle shaped like the real dataset for the given
+seed counts and prints seconds per run.  Feeds the vmap-scaling numbers in
+docs/DESIGN.md §4.
 
     python scripts/bench_sweep.py [epochs] [seed_counts...]
+
+Set BENCH_SWEEP_DATASET=celeba for CelebA split sizes (162,770 train —
+BASELINE config 2); default is Waterbirds (4,795 / 1,199 / 5,794, D=1024).
 """
 
 import os
@@ -18,10 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+SCALES = {
+    # name -> (n_train, n_val, n_test); D=1024 (RN50 embedding width)
+    "waterbirds": (4795, 1199, 5794),
+    "celeba": (162770, 19867, 19962),
+}
+
 
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed_counts = [int(a) for a in sys.argv[2:]] or [3, 32]
+    dataset = os.environ.get("BENCH_SWEEP_DATASET", "waterbirds")
+    n_train, n_val, n_test = SCALES[dataset]
 
     from debiasing_multi_modal_tpu.data.groups import GroupTable
     from debiasing_multi_modal_tpu.utils.compilation_cache import (
@@ -36,7 +46,7 @@ def main():
     from debiasing_multi_modal_tpu.train.config import TrainConfig
     from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table
 
-    spec = SyntheticSpec(dim=1024, n_train=4795, n_val=1199, n_test=5794)
+    spec = SyntheticSpec(dim=1024, n_train=n_train, n_val=n_val, n_test=n_test)
     meta, table, tc, tg, ts = make_synthetic_dataset(spec)
     mbs = {
         name: GroupTable(
@@ -50,7 +60,7 @@ def main():
     bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
 
     cfg = TrainConfig(
-        dataset="waterbirds", input_dim=1024, adapter_feat_dim=128,
+        dataset=dataset, input_dim=1024, adapter_feat_dim=128,
         tl_method="adapter_reg_seq_alter", epochs=epochs,
         epochs_feature_learning=epochs // 2,
         batch_size=1024, batch_size_reg=256,

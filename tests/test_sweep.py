@@ -123,3 +123,33 @@ def test_vmapped_tiny_reg_batch_matches_sequential(bundle):
         for s_d, v_d in zip(s_res, v_res):
             for k in s_d:
                 assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
+
+
+def test_seed_sharded_mesh_matches_unsharded(bundle):
+    """Seed-axis sharding over the 8-device CPU mesh: an N-seed sweep is
+    embarrassingly parallel, so the sharded run must reproduce the plain
+    vmapped results (per-seed computations have no cross-seed reduction)."""
+    from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        balance_val=True, add_adapter=True, init_near_identity=True,
+        continue_from_best=True, **BASE,
+    )
+    seeds = list(range(42, 50))  # 8 seeds over 8 devices
+    plain = run_seeds(cfg, bundle, seeds, use_vmap=True)
+    mesh = make_mesh(axis_names=("data",))
+    sharded = run_seeds(cfg, bundle, seeds, use_vmap=True, mesh=mesh)
+    for (p_res, p_zs), (s_res, s_zs) in zip(plain, sharded):
+        for p_d, s_d in zip(p_res + p_zs, s_res + s_zs):
+            for k in p_d:
+                assert abs(p_d[k] - s_d[k]) < 1e-6, (k, p_d, s_d)
+
+
+def test_seed_sharded_mesh_rejects_uneven_split(bundle):
+    from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(tl_method="adapter", epochs=1, **BASE)
+    mesh = make_mesh(axis_names=("data",))
+    with pytest.raises(ValueError, match="divide"):
+        run_seeds(cfg, bundle, [42, 43, 44], use_vmap=True, mesh=mesh)
