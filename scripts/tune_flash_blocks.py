@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Block-size sweep for the Pallas flash-attention forward on TPU.
+
+The kernels read module-level BLOCK_Q/BLOCK_KV at trace time, so the sweep
+patches them per configuration and re-traces.  Compares against the XLA
+einsum path at each shape (the auto-dispatch's competitor).  Feeds the
+block-size row of docs/DESIGN.md §5.
+
+    python scripts/tune_flash_blocks.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debiasing_multi_modal_tpu.ops import attention as xla_attn
+from debiasing_multi_modal_tpu.ops import flash_attention as fa
+from debiasing_multi_modal_tpu.utils.compilation_cache import (
+    enable_persistent_cache,
+)
+
+ITERS = 10
+
+
+def chain_time(fn, *args):
+    @jax.jit
+    def prog(acc, *a):
+        return acc + fn(*a).astype(jnp.float32).mean()
+
+    float(prog(jnp.float32(0), *args))  # compile + warm
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for _ in range(ITERS):
+        acc = prog(acc, *args)
+    float(acc)
+    return (time.perf_counter() - t0) / ITERS * 1e3
+
+
+def main():
+    enable_persistent_cache()
+    rng = np.random.default_rng(0)
+    shapes = [
+        # (label, B, S, H, D)
+        ("S=1024 bs16 8h", 16, 1024, 8, 64),
+        ("S=2048 bs8 8h", 8, 2048, 8, 64),
+        ("S=4096 bs4 8h", 4, 4096, 8, 64),
+        ("S=4096 bs16 8h", 16, 4096, 8, 64),
+    ]
+    blocks = [(128, 128), (256, 128), (256, 256), (512, 256), (512, 512)]
+    for label, b, s, h, d in shapes:
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+
+        def xla(q):
+            return xla_attn.dot_product_attention(q, q, q, impl="xla")
+
+        try:
+            t_x = chain_time(xla, q)
+            print(f"{label:18s} xla                 {t_x:8.2f} ms", flush=True)
+        except Exception as e:  # OOM at the biggest shape
+            print(f"{label:18s} xla                 FAILED {type(e).__name__}",
+                  flush=True)
+        for bq, bkv in blocks:
+            if s % bq or s % bkv:
+                continue
+            fa.BLOCK_Q, fa.BLOCK_KV = bq, bkv
+
+            def pallas(q):
+                return fa.flash_attention(q, q, q)
+
+            t_p = chain_time(pallas, q)
+            print(f"{label:18s} pallas bq{bq:<4d}bkv{bkv:<4d}{t_p:8.2f} ms",
+                  flush=True)
+        fa.BLOCK_Q, fa.BLOCK_KV = 128, 128
+
+
+if __name__ == "__main__":
+    main()
