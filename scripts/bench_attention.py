@@ -57,6 +57,11 @@ def timed(fn, q, k, v, iters=3):
     return (time.perf_counter() - t0) / (iters * CHAIN)
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     print(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
     rng = np.random.default_rng(0)

@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=24)

@@ -50,6 +50,11 @@ def chain_time(fn, *args):
     return (time.perf_counter() - t0) / ITERS
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     print("backend:", jax.default_backend())
     model = create_clip("RN50", dtype=jnp.bfloat16)

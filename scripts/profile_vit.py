@@ -49,6 +49,11 @@ def chain_time(fn, *args):
     return (time.perf_counter() - t0) / ITERS
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     print("backend:", jax.default_backend(), " batch:", BATCH)
     model = create_clip("ViT-B/32", dtype=jnp.bfloat16)

@@ -87,6 +87,11 @@ def xla_attention_variant(policy):
     return _attn
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     print("backend:", jax.default_backend())
     model = create_clip("ViT-B/32", dtype=jnp.bfloat16)

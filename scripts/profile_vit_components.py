@@ -52,6 +52,11 @@ def scan_time(fn, x, *consts):
     return (time.perf_counter() - t0) / (ITERS * K)
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     print("backend:", jax.default_backend())
     rng = np.random.default_rng(0)

@@ -42,6 +42,11 @@ def chain_time(fn, *args):
     return (time.perf_counter() - t0) / ITERS
 
 
+from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
 def main():
     batches = [int(a) for a in sys.argv[1:]] or [512, 128]
     print("backend:", jax.default_backend())
