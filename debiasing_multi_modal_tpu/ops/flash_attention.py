@@ -104,9 +104,17 @@ def _heads_per_cell(bh: int, skv_pad: int, head_dim: int) -> int:
 def _attn_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, q_len, causal
 ):
-    """Forward that also emits the row logsumexp (training residual)."""
+    """Forward that also emits the row logsumexp (training residual).
+
+    Dots run in the INPUT dtype with f32 accumulation
+    (``preferred_element_type``): bf16 activations hit the MXU's bf16 path
+    (~4x its f32 rate on v5e) — upcasting operands before the dot was
+    measured to cost the kernel ~3x at ViT-L shapes.  Softmax math stays
+    f32 on the f32-accumulated scores (strictly tighter than the XLA path,
+    which rounds the stored logits to the activation dtype).
+    """
     iq = pl.program_id(1)
-    q = q_ref[...].astype(jnp.float32) * scale
+    q = q_ref[...]
     g, bq, d = q.shape
     skv_pad = k_ref.shape[1]
     n_kv = skv_pad // BLOCK_KV
@@ -114,9 +122,9 @@ def _attn_fwd_kernel(
 
     def body(jkv, carry):
         acc, m, l = carry
-        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
-        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
+        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
+        s = scale * jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
@@ -130,8 +138,11 @@ def _attn_fwd_kernel(
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        # p rounds to the value dtype for the MXU (standard flash practice;
+        # the accumulator stays f32)
         acc_new = acc * corr + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 
@@ -157,10 +168,14 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, scale, kv_len, q_len, causal,
 ):
-    """dQ for one (packed-heads, q-block) cell, streaming kv blocks."""
+    """dQ for one (packed-heads, q-block) cell, streaming kv blocks.
+
+    Dots in the input dtype with f32 accumulation (see _attn_fwd_kernel);
+    ds rounds to the operand dtype before its MXU dot.
+    """
     iq = pl.program_id(1)
-    q = q_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    q = q_ref[...]
+    do = do_ref[...]
     lse = lse_ref[...][..., 0]  # [G, BQ] (stored with trailing singleton)
     delta = delta_ref[...][..., 0]
     g, bq, d = q.shape
@@ -169,8 +184,8 @@ def _bwd_dq_kernel(
     q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
 
     def body(jkv, dq):
-        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
-        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :].astype(jnp.float32)
+        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
+        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
         s = scale * jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -187,7 +202,8 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - delta[..., None]) * scale
         return dq + jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
 
     if causal:
@@ -206,10 +222,13 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     *, scale, kv_len, q_len, causal,
 ):
-    """dK/dV for one (packed-heads, kv-block) cell, streaming q blocks."""
+    """dK/dV for one (packed-heads, kv-block) cell, streaming q blocks.
+
+    Dots in the input dtype with f32 accumulation (see _attn_fwd_kernel).
+    """
     jkv = pl.program_id(1)
-    k = k_ref[...].astype(jnp.float32)  # [G, BKV, D]
-    v = v_ref[...].astype(jnp.float32)
+    k = k_ref[...]  # [G, BKV, D]
+    v = v_ref[...]
     g, bkv, d = k.shape
     sq_pad = q_ref.shape[1]
     n_q = sq_pad // BLOCK_Q
@@ -220,8 +239,8 @@ def _bwd_dkv_kernel(
 
     def body(iq, carry):
         dk, dv = carry
-        q = q_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
-        do = do_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        q = q_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :]
+        do = do_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :]
         lse = lse_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), 0]
         delta = delta_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), 0]
         s = scale * jax.lax.dot_general(
@@ -235,15 +254,17 @@ def _bwd_dkv_kernel(
             )
             valid = jnp.logical_and(valid, kv_pos <= q_pos)
         p = jnp.where(valid[None], p, 0.0)
+        pd = p.astype(do.dtype)
         dv_new = dv + jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            pd, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta[..., None]) * scale
         dk_new = dk + jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         return dk_new, dv_new
 
