@@ -23,7 +23,7 @@ from debiasing_multi_modal_tpu.models import create_clip
 from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
 
 ITERS = 6
-GF_PER_IMG = 164e9
+GF_PER_IMG = 383.4e9  # XLA cost_analysis at 336px (the 224px figure is 164)
 
 
 def chain_time(fn, *args):
