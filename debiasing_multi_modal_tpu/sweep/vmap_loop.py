@@ -71,17 +71,21 @@ def _take_rows(tree, rows):
     return jax.tree.map(lambda a: a[rows], tree)
 
 
-def _init_stacked(module, cfg, keys, n_cls):
+def _init_stacked(module, cfg, keys, n_cls, *, init_on_first: bool = False):
     """Per-seed ``split`` + flax ``init`` as ONE jitted vmapped program.
 
     Un-jitted flax init dispatches hundreds of tiny ops per seed — over the
     tunnel that costs seconds per seed (CLAUDE.md environment rules).  Key
-    consumption order matches the sequential loop: one split per seed, init
-    on the second half.
+    consumption order matches the sequential loop exactly, which uses BOTH
+    split orders: phase-1 init consumes the second split half
+    (``key, init_key = split(key)``, train/loop.py) while the
+    MultipleAdapter init consumes the first (``key_new, key = split(key)``)
+    — pass ``init_on_first=True`` for the latter.
     """
 
     def one(k):
-        k_next, init_key = jax.random.split(k)
+        a, b = jax.random.split(k)
+        init_key, k_next = (a, b) if init_on_first else (b, a)
         p, s = _init_variables(module, cfg, init_key, n_cls)
         return k_next, p, s
 
@@ -130,8 +134,13 @@ def train_seeds_vmapped(
 
         stage_put = None
 
-    # stacked [S]-leading key array; one program instead of S host dispatches
-    keysS = jax.jit(jax.vmap(jax.random.PRNGKey))(np.asarray(seeds, np.uint32))
+    # stacked [S]-leading key array; one program instead of S host dispatches.
+    # The vectorized path requires uint32-range seeds; PRNGKey itself accepts
+    # any 64-bit int, so larger seeds take the per-seed fallback.
+    if all(0 <= int(s) < 2 ** 32 for s in seeds):
+        keysS = jax.jit(jax.vmap(jax.random.PRNGKey))(np.asarray(seeds, np.uint32))
+    else:
+        keysS = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
 
     if cfg.is_reg_method:
         reg_idx, val_idx = stratified_split_indices(bundle.val.group, 0.5, seed=42)
@@ -188,7 +197,7 @@ def train_seeds_vmapped(
     # jnp.asarray re-uploads were measured to dominate the sweep wall-clock
     # over the remote-TPU tunnel (docs/DESIGN.md §4).
     stage = DeviceCache(put=stage_put)
-    eval_plans: Dict[int, Tuple[jax.Array, jax.Array]] = {}
+    eval_plans: Dict[Tuple[int, int], Tuple[jax.Array, jax.Array]] = {}
 
     def vm_train(module, st, split, labels, text, plansS, lrs, mask_tree):
         idxS = place(jnp.asarray(np.stack([p.indices for p in plansS])))
@@ -202,11 +211,14 @@ def train_seeds_vmapped(
         )
 
     def vm_eval(module, paramsS, statsS, split, labels, text):
-        cached = eval_plans.get(id(split))
+        # keyed like loop.py's _evaluate plan_cache: (split identity, batch
+        # size) so a future second eval batch size can't reuse a wrong plan
+        key = (id(split), eval_bs)
+        cached = eval_plans.get(key)
         if cached is None:
             plan = epoch_plan(len(split), eval_bs, shuffle=False)
             cached = (stage(plan.indices), stage(plan.mask))
-            eval_plans[id(split)] = cached
+            eval_plans[key] = cached
         idx, msk = cached
 
         return eval_epoch_vmapped(
@@ -279,7 +291,7 @@ def train_seeds_vmapped(
                     )
                 if cfg.add_adapter:
                     keysS, ma_params, ma_stats = _init_stacked(
-                        multiple, cfg, keysS, cfg.n_cls
+                        multiple, cfg, keysS, cfg.n_cls, init_on_first=True
                     )
                     ma_params = dict(place(ma_params))
                     ma_stats = dict(place(ma_stats))

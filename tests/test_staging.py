@@ -61,13 +61,21 @@ def test_enable_persistent_cache(tmp_path):
         enable_persistent_cache,
     )
 
+    prior_dir = jax.config.jax_compilation_cache_dir
+    prior_min = jax.config.jax_persistent_cache_min_compile_time_secs
     target = str(tmp_path / "xla_cache")
-    got = enable_persistent_cache(target, min_compile_secs=0.25)
-    assert got == target
-    assert jax.config.jax_compilation_cache_dir == target
-    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.25
-    import os
+    try:
+        got = enable_persistent_cache(target, min_compile_secs=0.25)
+        assert got == target
+        assert jax.config.jax_compilation_cache_dir == target
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.25
+        import os
 
-    assert os.path.isdir(target)
-    # idempotent
-    assert enable_persistent_cache(target) == target
+        assert os.path.isdir(target)
+        # idempotent
+        assert enable_persistent_cache(target) == target
+    finally:  # global jax config: restore so later tests are unaffected
+        jax.config.update("jax_compilation_cache_dir", prior_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prior_min
+        )

@@ -45,6 +45,13 @@ def bundle():
             dict(epochs_feature_learning=2, balance_val=True, add_adapter=True,
                  init_near_identity=True),
         ),
+        # random MA init (the "_MA+rn" cells): exercises the MultipleAdapter
+        # init's PRNG-key split order, which differs from phase 1's
+        (
+            "adapter_reg_seq_alter",
+            dict(epochs_feature_learning=2, add_adapter=True,
+                 init_near_identity=False),
+        ),
         ("adapter_reg", {}),
         ("adapter_reg_seq", dict(epochs_feature_learning=2)),
         ("adapter", dict(resample_ce=True)),
@@ -54,8 +61,8 @@ def bundle():
             dict(num_positive=8, num_negative=8, batch_factor=2),
         ),
     ],
-    ids=["adapter", "seq_alter_ma", "adapter_reg", "seq", "resample_ce",
-         "linear_probing", "contrastive"],
+    ids=["adapter", "seq_alter_ma", "seq_alter_ma_randominit", "adapter_reg",
+         "seq", "resample_ce", "linear_probing", "contrastive"],
 )
 def test_vmapped_seeds_match_sequential(bundle, method, extra):
     cfg = TrainConfig(tl_method=method, epochs=5, **extra, **BASE)
@@ -153,3 +160,18 @@ def test_seed_sharded_mesh_rejects_uneven_split(bundle):
     mesh = make_mesh(axis_names=("data",))
     with pytest.raises(ValueError, match="divide"):
         run_seeds(cfg, bundle, [42, 43, 44], use_vmap=True, mesh=mesh)
+
+
+def test_vmapped_accepts_out_of_uint32_seeds(bundle):
+    """PRNGKey accepts any 64-bit int; the vectorized key build must not
+    silently wrap seeds >= 2**32 onto small seeds' keys.  (Negative seeds
+    are rejected by numpy's Generator in BOTH loops, so they are out of
+    scope for parity.)"""
+    cfg = TrainConfig(tl_method="adapter", epochs=1, **BASE)
+    big = [2 ** 32 + 5, 2 ** 33 + 7]
+    seq = run_seeds(cfg, bundle, big, use_vmap=False)
+    vm = run_seeds(cfg, bundle, big, use_vmap=True)
+    for (s_res, s_zs), (v_res, v_zs) in zip(seq, vm):
+        for s_d, v_d in zip(s_res + s_zs, v_res + v_zs):
+            for k in s_d:
+                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
