@@ -41,37 +41,50 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-BLOCK_Q = 128
+BLOCK_Q = 128  # short-sequence default; long sequences pick bigger blocks
 BLOCK_KV = 128
 _NEG_INF = float(-1e30)
 
 
+def _pick_blocks(sq: int, skv: int) -> "tuple[int, int]":
+    """Measured block choice (scripts/tune_flash_blocks.py, v5e round 2).
+
+    Mosaic's per-grid-step overhead dominates the kernel at many-small-cells
+    shapes; 512-row q blocks amortize it (S=4096 bs16: 56 -> 13.4 ms, from
+    3.6x slower than XLA to 1.17x FASTER).  512-wide kv blocks additionally
+    win once the kv stream is long (>= 4k); 256 is better below that.
+    Short sequences keep 128/128 (their padding waste would dominate).
+    """
+    if sq >= 1024:
+        bq = 512
+    else:
+        bq = BLOCK_Q
+    if skv >= 4096:
+        bkv = 512
+    elif skv >= 1024:
+        bkv = 256
+    else:
+        bkv = BLOCK_KV
+    return bq, bkv
+
+
 # Auto-dispatch policy (measured on v5e, rounds 1-2; scripts/bench_attention.py
-# + in-context ViT-B/32 encode):
+# + in-context encoders; docs/DESIGN.md §5 carries the full tables):
 #
-# - CLIP-scale sequences (50-257 tokens): XLA wins IN-CONTEXT (ViT-B/32
-#   encode at batch 512: 64.7 ms XLA vs 77.0 ms Pallas with head-packing).
-#   Standalone microbenchmarks at these shapes say the opposite (4.1 ms
-#   Pallas vs 34.3 ms XLA) — they miss XLA's fusion with the surrounding
-#   projections; never dispatch on standalone numbers.  (Head-packing still
-#   mattered: it took the kernel from 869 ms to 4.1 ms standalone.)
-# - 1k tokens: tie (2.86 ms XLA vs 2.76 ms Pallas).  4k tokens, fits-in-HBM
-#   batch: XLA wins (7.1 vs 13.9 ms at bs4).
-# - ViT-L/14@336px (S=577) in-context, batches 128 AND 512: XLA 262 imgs/s
-#   vs Pallas 189 (scripts/profile_vitl_attn.py) — even with 5.4 GB of bf16
-#   scores materialized per layer, XLA's fusion beats the kernel's grid
-#   serialization.
-# - The kernel's real role is the MEMORY enabler: the XLA path materializes
-#   an activation-dtype [B, H, Sq, Skv] score tensor, so past a few GiB it
-#   degrades and then OOMs; the blockwise kernel never materializes it.
+# - CLIP-scale sequences (50-577 tokens): XLA wins IN-CONTEXT (ViT-B/32
+#   encode at batch 512: 64.7 ms XLA vs 77.0 ms Pallas; ViT-L/14@336px
+#   262 vs 189 imgs/s).  Standalone microbenchmarks at these shapes say the
+#   opposite — they miss XLA's fusion with the surrounding projections;
+#   never dispatch on standalone numbers.
+# - From 1k tokens the measured-blocks kernel (_pick_blocks: 512-row q
+#   blocks) wins IN-CONTEXT too: transformer-layer wall 1.12x at S=1024
+#   bs16 (tie at bs4), 1.18x at S=2048, 1.22x at S=4096 bs16 — and it
+#   never materializes the [B, H, Sq, Skv] score tensor, so it keeps
+#   running where the XLA path OOMs (S=4096 bs64 = 34 GB of logits).
 #
-# "auto" therefore takes the Pallas path only when the sequence is long AND
-# XLA's score tensor would be prohibitive; pass impl="pallas" to force.
+# "auto" therefore takes the Pallas path for any qualifying sequence of
+# >= 1024 tokens; pass impl="xla"/"pallas" to force either.
 MIN_AUTO_SEQ_LEN = 1024
-# XLA won every case that fit alongside the model (up to 8.6 GB of logits on
-# the 16 GB chip); "prohibitive" starts where the materialization would crowd
-# out weights/activations in a real program.
-SCORE_BYTES_THRESHOLD = 8 << 30  # 8 GiB of attention logits
 
 
 def supported(q, k, v, *, mask=None) -> bool:
@@ -81,12 +94,6 @@ def supported(q, k, v, *, mask=None) -> bool:
     if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
         return False
     if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA fuses better
-        return False
-    b, sq, h, _ = q.shape
-    # the XLA path stores logits in the activation dtype (ops/attention.py),
-    # so bf16 activations halve the bytes the threshold must account for
-    score_bytes = jnp.dtype(q.dtype).itemsize * b * h * sq * k.shape[1]
-    if score_bytes < SCORE_BYTES_THRESHOLD:  # XLA's fused path still wins
         return False
     return _HAS_PLTPU
 
@@ -102,7 +109,8 @@ def _heads_per_cell(bh: int, skv_pad: int, head_dim: int) -> int:
 
 
 def _attn_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, q_len, causal
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, q_len, causal,
+    block_kv,
 ):
     """Forward that also emits the row logsumexp (training residual).
 
@@ -117,18 +125,18 @@ def _attn_fwd_kernel(
     q = q_ref[...]
     g, bq, d = q.shape
     skv_pad = k_ref.shape[1]
-    n_kv = skv_pad // BLOCK_KV
-    q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
+    n_kv = skv_pad // block_kv
+    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0)
 
     def body(jkv, carry):
         acc, m, l = carry
-        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
-        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
+        k = k_ref[:, pl.dslice(jkv * block_kv, block_kv), :]
+        v = v_ref[:, pl.dslice(jkv * block_kv, block_kv), :]
         s = scale * jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, BLOCK_KV), 1
+        kv_pos = jkv * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_kv), 1
         )
         valid = kv_pos < kv_len
         if causal:
@@ -151,7 +159,7 @@ def _attn_fwd_kernel(
     l0 = jnp.zeros((g, bq, 1), jnp.float32)
     if causal:
         n_needed = jnp.minimum(
-            n_kv, (iq * BLOCK_Q + BLOCK_Q + BLOCK_KV - 1) // BLOCK_KV
+            n_kv, (iq * bq + bq + block_kv - 1) // block_kv
         )
     else:
         n_needed = n_kv
@@ -166,7 +174,7 @@ def _attn_fwd_kernel(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, kv_len, q_len, causal,
+    *, scale, kv_len, q_len, causal, block_kv,
 ):
     """dQ for one (packed-heads, q-block) cell, streaming kv blocks.
 
@@ -180,18 +188,18 @@ def _bwd_dq_kernel(
     delta = delta_ref[...][..., 0]
     g, bq, d = q.shape
     skv_pad = k_ref.shape[1]
-    n_kv = skv_pad // BLOCK_KV
-    q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_KV), 0)
+    n_kv = skv_pad // block_kv
+    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0)
 
     def body(jkv, dq):
-        k = k_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
-        v = v_ref[:, pl.dslice(jkv * BLOCK_KV, BLOCK_KV), :]
+        k = k_ref[:, pl.dslice(jkv * block_kv, block_kv), :]
+        v = v_ref[:, pl.dslice(jkv * block_kv, block_kv), :]
         s = scale * jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         p = jnp.exp(s - lse[..., None])
-        kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, BLOCK_KV), 1
+        kv_pos = jkv * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_kv), 1
         )
         valid = kv_pos < kv_len
         if causal:
@@ -208,7 +216,7 @@ def _bwd_dq_kernel(
 
     if causal:
         n_needed = jnp.minimum(
-            n_kv, (iq * BLOCK_Q + BLOCK_Q + BLOCK_KV - 1) // BLOCK_KV
+            n_kv, (iq * bq + bq + block_kv - 1) // block_kv
         )
     else:
         n_needed = n_kv
@@ -220,7 +228,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, kv_len, q_len, causal,
+    *, scale, kv_len, q_len, causal, block_q,
 ):
     """dK/dV for one (packed-heads, kv-block) cell, streaming q blocks.
 
@@ -231,26 +239,26 @@ def _bwd_dkv_kernel(
     v = v_ref[...]
     g, bkv, d = k.shape
     sq_pad = q_ref.shape[1]
-    n_q = sq_pad // BLOCK_Q
-    kv_pos = jkv * BLOCK_KV + jax.lax.broadcasted_iota(
-        jnp.int32, (BLOCK_Q, bkv), 1
+    n_q = sq_pad // block_q
+    kv_pos = jkv * bkv + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, bkv), 1
     )
     kv_valid = kv_pos < kv_len
 
     def body(iq, carry):
         dk, dv = carry
-        q = q_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :]
-        do = do_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), :]
-        lse = lse_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), 0]
-        delta = delta_ref[:, pl.dslice(iq * BLOCK_Q, BLOCK_Q), 0]
+        q = q_ref[:, pl.dslice(iq * block_q, block_q), :]
+        do = do_ref[:, pl.dslice(iq * block_q, block_q), :]
+        lse = lse_ref[:, pl.dslice(iq * block_q, block_q), 0]
+        delta = delta_ref[:, pl.dslice(iq * block_q, block_q), 0]
         s = scale * jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [G, BQ, BKV]
         p = jnp.exp(s - lse[..., None])
         valid = kv_valid
         if causal:
-            q_pos = iq * BLOCK_Q + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, bkv), 0
+            q_pos = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bkv), 0
             )
             valid = jnp.logical_and(valid, kv_pos <= q_pos)
         p = jnp.where(valid[None], p, 0.0)
@@ -270,7 +278,7 @@ def _bwd_dkv_kernel(
 
     if causal:
         # q blocks strictly above this kv block's diagonal contribute nothing
-        start = (jkv * BLOCK_KV) // BLOCK_Q
+        start = (jkv * bkv) // block_q
     else:
         start = 0
     dk0 = jnp.zeros((g, bkv, d), jnp.float32)
@@ -295,24 +303,26 @@ def _merge_pad(x, b, h, d, s_pad):
     return _pad_to(m, s_pad, 1)
 
 
-def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret):
+def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret,
+                      block_q, block_kv):
     bh, sq_pad, d = qm.shape
     skv_pad = km.shape[1]
     g = _heads_per_cell(bh, skv_pad, d)
-    grid = (bh // g, sq_pad // BLOCK_Q)
+    grid = (bh // g, sq_pad // block_q)
     out, lse = pl.pallas_call(
         functools.partial(
-            _attn_fwd_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal
+            _attn_fwd_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal,
+            block_kv=block_kv,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, d), lambda bh, iq: (bh, iq, 0)),
             pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
             pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((g, BLOCK_Q, 1), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, 1), lambda bh, iq: (bh, iq, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq_pad, d), qm.dtype),
@@ -323,29 +333,29 @@ def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, causal, interpret):
-    return _flash_fwd_rule(q, k, v, causal, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, interpret, block_q, block_kv):
+    return _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv)[0]
 
 
-def _flash_fwd_rule(q, k, v, causal, interpret):
+def _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5
-    sq_pad = -(-sq // BLOCK_Q) * BLOCK_Q
-    skv_pad = -(-skv // BLOCK_KV) * BLOCK_KV
+    sq_pad = -(-sq // block_q) * block_q
+    skv_pad = -(-skv // block_kv) * block_kv
     qm = _merge_pad(q, b, h, d, sq_pad)
     km = _merge_pad(k, b, h, d, skv_pad)
     vm = _merge_pad(v, b, h, d, skv_pad)
     om, lse = _flash_fwd_padded(
         qm, km, vm, scale=scale, sq=sq, skv=skv, causal=causal,
-        interpret=interpret,
+        interpret=interpret, block_q=block_q, block_kv=block_kv,
     )
     out = om[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return out, (qm, km, vm, om, lse, (b, sq, h, d, skv))
 
 
-def _flash_bwd_rule(causal, interpret, res, grad):
+def _flash_bwd_rule(causal, interpret, block_q, block_kv, res, grad):
     qm, km, vm, om, lse, (b, sq, h, d, skv) = res
     scale = d ** -0.5
     sq_pad, skv_pad = qm.shape[1], km.shape[1]
@@ -359,35 +369,35 @@ def _flash_bwd_rule(causal, interpret, res, grad):
     kw = dict(scale=scale, kv_len=skv, q_len=sq, causal=causal)
 
     dqm = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **kw),
-        grid=(bh // g, sq_pad // BLOCK_Q),
+        functools.partial(_bwd_dq_kernel, block_kv=block_kv, **kw),
+        grid=(bh // g, sq_pad // block_q),
         in_specs=[
-            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, d), lambda bh, iq: (bh, iq, 0)),
             pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
             pl.BlockSpec((g, skv_pad, d), lambda bh, iq: (bh, 0, 0)),
-            pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((g, BLOCK_Q, 1), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((g, BLOCK_Q, 1), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, d), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, 1), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((g, block_q, 1), lambda bh, iq: (bh, iq, 0)),
         ],
-        out_specs=pl.BlockSpec((g, BLOCK_Q, d), lambda bh, iq: (bh, iq, 0)),
+        out_specs=pl.BlockSpec((g, block_q, d), lambda bh, iq: (bh, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), qm.dtype),
         interpret=interpret,
     )(qm, km, vm, dom, lse, delta)
 
     dkm, dvm = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **kw),
-        grid=(bh // g, skv_pad // BLOCK_KV),
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, **kw),
+        grid=(bh // g, skv_pad // block_kv),
         in_specs=[
             pl.BlockSpec((g, sq_pad, d), lambda bh, jk: (bh, 0, 0)),
-            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
-            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, block_kv, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, block_kv, d), lambda bh, jk: (bh, jk, 0)),
             pl.BlockSpec((g, sq_pad, d), lambda bh, jk: (bh, 0, 0)),
             pl.BlockSpec((g, sq_pad, 1), lambda bh, jk: (bh, 0, 0)),
             pl.BlockSpec((g, sq_pad, 1), lambda bh, jk: (bh, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
-            pl.BlockSpec((g, BLOCK_KV, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, block_kv, d), lambda bh, jk: (bh, jk, 0)),
+            pl.BlockSpec((g, block_kv, d), lambda bh, jk: (bh, jk, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, skv_pad, d), km.dtype),
@@ -405,7 +415,9 @@ def _flash_bwd_rule(causal, interpret, res, grad):
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "interpret", "block_q", "block_kv")
+)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -414,8 +426,14 @@ def flash_attention(
     mask: Optional[jax.Array] = None,
     causal: bool = False,
     interpret: bool = False,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
 ) -> jax.Array:
     """Fused attention: q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D].
+
+    Block sizes default to the measured per-shape choice (``_pick_blocks``);
+    pass ``block_q``/``block_kv`` to override (both must divide their padded
+    sequence).
 
     Differentiable: the backward pass is the standard flash-attention
     recomputation (blockwise dQ and dK/dV kernels over the saved row
@@ -424,4 +442,7 @@ def flash_attention(
     XLA backward cannot exist.
     """
     assert mask is None, "additive masks use the XLA path"
-    return _flash(q, k, v, causal, interpret)
+    auto_q, auto_kv = _pick_blocks(q.shape[1], k.shape[1])
+    return _flash(
+        q, k, v, causal, interpret, block_q or auto_q, block_kv or auto_kv
+    )

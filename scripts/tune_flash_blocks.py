@@ -68,15 +68,17 @@ def main():
         for bq, bkv in blocks:
             if s % bq or s % bkv:
                 continue
-            fa.BLOCK_Q, fa.BLOCK_KV = bq, bkv
 
-            def pallas(q):
-                return fa.flash_attention(q, q, q)
+            def pallas(q, _bq=bq, _bkv=bkv):
+                # block sizes are real (static) kernel parameters, so each
+                # config traces and compiles its own kernel — an earlier
+                # version patched module globals, which the jit cache
+                # silently ignored after the first trace
+                return fa.flash_attention(q, q, q, block_q=_bq, block_kv=_bkv)
 
             t_p = chain_time(pallas, q)
             print(f"{label:18s} pallas bq{bq:<4d}bkv{bkv:<4d}{t_p:8.2f} ms",
                   flush=True)
-        fa.BLOCK_Q, fa.BLOCK_KV = 128, 128
 
 
 if __name__ == "__main__":

@@ -117,27 +117,22 @@ def test_flash_backward_matches_xla_grads(rng, causal, seq, skv):
 
 
 def test_auto_dispatch_policy():
-    """auto -> Pallas only for long sequences whose XLA score tensor would be
-    prohibitive (docs/DESIGN.md §5 measured policy)."""
+    """auto -> Pallas for any qualifying sequence >= 1024 tokens (the
+    measured-blocks kernel wins in-context there and never materializes the
+    score tensor — docs/DESIGN.md §5 measured policy)."""
     from debiasing_multi_modal_tpu.ops import flash_attention as fa
 
     mk = lambda b, s, h, d: jnp.zeros((b, s, h, d), jnp.bfloat16)  # noqa: E731
     # CLIP-scale: XLA (in-context measurement, not standalone)
     assert not fa.supported(mk(512, 50, 12, 64), mk(512, 50, 12, 64), mk(512, 50, 12, 64))
     assert not fa.supported(mk(64, 257, 16, 64), mk(64, 257, 16, 64), mk(64, 257, 16, 64))
-    # long but small-batch: scores fit comfortably -> still XLA
-    assert not fa.supported(mk(4, 4096, 8, 64), mk(4, 4096, 8, 64), mk(4, 4096, 8, 64))
-    # long and big: bf16 scores would be 17 GiB -> Pallas (iff pltpu available)
-    big = mk(64, 4096, 8, 64)
-    assert fa.supported(big, big, big) == fa._HAS_PLTPU
-    # byte accounting follows the activation dtype (the XLA path stores
-    # logits in it): the same shape in f32 crosses the threshold at half
-    # the batch
-    bf = mk(16, 4096, 8, 64)
-    assert not fa.supported(bf, bf, bf)  # 4.3 GiB bf16 scores: XLA
-    f32 = jnp.zeros((16, 4096, 8, 64), jnp.float32)
-    assert fa.supported(f32, f32, f32) == fa._HAS_PLTPU  # 8.6 GiB f32
+    assert not fa.supported(mk(128, 577, 16, 64), mk(128, 577, 16, 64), mk(128, 577, 16, 64))
+    # >= 1024 tokens: Pallas at any batch size (iff pltpu available)
+    for b, s in ((4, 4096), (64, 4096), (16, 1024)):
+        x = mk(b, s, 8, 64)
+        assert fa.supported(x, x, x) == fa._HAS_PLTPU
     # additive masks and odd head dims stay on XLA
+    big = mk(64, 4096, 8, 64)
     assert not fa.supported(big, big, big, mask=jnp.zeros(()))
     odd = mk(64, 4096, 8, 80)
     assert not fa.supported(odd, odd, odd)
@@ -173,3 +168,35 @@ def test_merged_head_wrapper(rng):
         jnp.asarray(x), jnp.asarray(x), jnp.asarray(x), num_heads=2, impl="xla"
     )
     assert out.shape == (2, 50, 128)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_big_blocks_fwd_bwd_parity(rng, causal):
+    """The long-sequence block configuration (bq 512 / bkv 256, picked by
+    _pick_blocks from S >= 1024) must match the XLA formulation forward and
+    backward — including a ragged tail (S=1100 pads to 1536)."""
+    b, s, h, d = 1, 1100, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    from debiasing_multi_modal_tpu.ops.flash_attention import _pick_blocks
+
+    assert _pick_blocks(s, s) == (512, 256)
+
+    out = flash_attention(q, q, q, causal=causal, interpret=True)
+    ref = _xla_attention(q, q, q, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_flash(q):
+        return jnp.sum(flash_attention(q, q, q, causal=causal, interpret=True) * t)
+
+    def loss_xla(q):
+        return jnp.sum(_xla_attention(q, q, q, causal=causal) * t)
+
+    g_f = jax.grad(loss_flash)(q)
+    g_x = jax.grad(loss_xla)(q)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_x), rtol=5e-4, atol=5e-4
+    )
