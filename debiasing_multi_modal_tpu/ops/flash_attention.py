@@ -46,6 +46,10 @@ BLOCK_KV = 128
 _NEG_INF = float(-1e30)
 
 
+def _pad128(s: int) -> int:
+    return -(-s // 128) * 128
+
+
 def _pick_blocks(sq: int, skv: int) -> "tuple[int, int]":
     """Measured block choice (scripts/tune_flash_blocks.py, v5e round 2).
 
@@ -53,12 +57,17 @@ def _pick_blocks(sq: int, skv: int) -> "tuple[int, int]":
     shapes; 512-row q blocks amortize it (S=4096 bs16: 56 -> 13.4 ms, from
     3.6x slower than XLA to 1.17x FASTER).  512-wide kv blocks additionally
     win once the kv stream is long (>= 4k); 256 is better below that.
-    Short sequences keep 128/128 (their padding waste would dominate).
+
+    In the 512-640 padded window, WHOLE-sequence cells (one q block, one kv
+    block, no inner loop) are the kernel's best shape: 7.5 -> 8.9 ms
+    standalone and 189 -> 238.5 imgs/s inside the forced-Pallas ViT-L/14
+    @336px encode.  (XLA's fused path still wins that model at 262.9, so
+    auto does NOT route here — the window only improves impl="pallas".)
+    Shorter sequences keep 128/128 (their padding waste would dominate).
     """
-    if sq >= 1024:
-        bq = 512
-    else:
-        bq = BLOCK_Q
+    if 512 <= sq < 1024 and _pad128(sq) <= 640 and _pad128(skv) <= 640:
+        return _pad128(sq), _pad128(skv)
+    bq = 512 if sq >= 1024 else BLOCK_Q
     if skv >= 4096:
         bkv = 512
     elif skv >= 1024:
@@ -83,7 +92,11 @@ def _pick_blocks(sq: int, skv: int) -> "tuple[int, int]":
 #   running where the XLA path OOMs (S=4096 bs64 = 34 GB of logits).
 #
 # "auto" therefore takes the Pallas path for any qualifying sequence of
-# >= 1024 tokens; pass impl="xla"/"pallas" to force either.
+# >= 1024 tokens; pass impl="xla"/"pallas" to force either.  NOTE the
+# S=577 whole-block cells (below) win a SYNTHETIC in-context layer 1.12x
+# yet still lose inside the real ViT-L/14@336px encode (238.5 vs 262.9
+# imgs/s) — "in-context" means the full model, so the dispatch boundary
+# stays at 1024.
 MIN_AUTO_SEQ_LEN = 1024
 
 
@@ -93,7 +106,7 @@ def supported(q, k, v, *, mask=None) -> bool:
         return False
     if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
         return False
-    if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA fuses better
+    if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA wins in-model
         return False
     return _HAS_PLTPU
 

@@ -126,7 +126,10 @@ def test_auto_dispatch_policy():
     # CLIP-scale: XLA (in-context measurement, not standalone)
     assert not fa.supported(mk(512, 50, 12, 64), mk(512, 50, 12, 64), mk(512, 50, 12, 64))
     assert not fa.supported(mk(64, 257, 16, 64), mk(64, 257, 16, 64), mk(64, 257, 16, 64))
-    assert not fa.supported(mk(128, 577, 16, 64), mk(128, 577, 16, 64), mk(128, 577, 16, 64))
+    # S=577 whole-block cells beat a synthetic layer but LOSE inside the
+    # real ViT-L/14@336px encode -> auto stays XLA below 1024
+    vl = mk(128, 577, 16, 64)
+    assert not fa.supported(vl, vl, vl)
     # >= 1024 tokens: Pallas at any batch size (iff pltpu available)
     for b, s in ((4, 4096), (64, 4096), (16, 1024)):
         x = mk(b, s, 8, 64)
@@ -199,4 +202,19 @@ def test_flash_big_blocks_fwd_bwd_parity(rng, causal):
     g_x = jax.grad(loss_xla)(q)
     np.testing.assert_allclose(
         np.asarray(g_f), np.asarray(g_x), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_flash_whole_block_window_parity(rng):
+    """S=577 (ViT-L/14@336px) routes through whole-sequence cells
+    (bq=bkv=640); forward must match XLA including the 63 padded rows."""
+    from debiasing_multi_modal_tpu.ops.flash_attention import _pick_blocks
+
+    assert _pick_blocks(577, 577) == (640, 640)
+    b, s, h, d = 1, 577, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    out = flash_attention(q, q, q, interpret=True)
+    ref = _xla_attention(q, q, q)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
