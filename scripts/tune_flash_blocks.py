@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Block-size sweep for the Pallas flash-attention forward on TPU.
 
-The kernels read module-level BLOCK_Q/BLOCK_KV at trace time, so the sweep
-patches them per configuration and re-traces.  Compares against the XLA
-einsum path at each shape (the auto-dispatch's competitor).  Feeds the
-block-size row of docs/DESIGN.md §5.
+Block sizes are static parameters of flash_attention, so each configuration
+traces and compiles its own kernel.  Compares against the XLA einsum path
+at each shape (the auto-dispatch's competitor).  Feeds the block-size rows
+of docs/DESIGN.md §5; _pick_blocks encodes the winning choices.
 
     python scripts/tune_flash_blocks.py
 """
