@@ -106,7 +106,9 @@ def supported(q, k, v, *, mask=None) -> bool:
         return False
     if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
         return False
-    if q.shape[1] < MIN_AUTO_SEQ_LEN:  # short sequences: XLA wins in-model
+    # every measurement behind the policy is self-attention (sq == skv);
+    # long-query/short-kv cross-attention is unmeasured, so it stays XLA
+    if min(q.shape[1], k.shape[1]) < MIN_AUTO_SEQ_LEN:
         return False
     return _HAS_PLTPU
 

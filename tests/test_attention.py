@@ -134,6 +134,8 @@ def test_auto_dispatch_policy():
     for b, s in ((4, 4096), (64, 4096), (16, 1024)):
         x = mk(b, s, 8, 64)
         assert fa.supported(x, x, x) == fa._HAS_PLTPU
+    # long-query/short-kv cross-attention is unmeasured -> XLA
+    assert not fa.supported(mk(4, 4096, 8, 64), mk(4, 77, 8, 64), mk(4, 77, 8, 64))
     # additive masks and odd head dims stay on XLA
     big = mk(64, 4096, 8, 64)
     assert not fa.supported(big, big, big, mask=jnp.zeros(()))

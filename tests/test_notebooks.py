@@ -32,6 +32,7 @@ def test_notebook_executes(path):
     nb = nbformat.read(os.path.join(root, path), as_version=4)
     client = NotebookClient(
         nb, timeout=600, kernel_name="python3",
-        resources={"metadata": {"path": root}},
+        # kernel cwd must be notebooks/ — the cells use '..'-relative paths
+        resources={"metadata": {"path": os.path.join(root, "notebooks")}},
     )
     client.execute()  # raises CellExecutionError on any failing cell
