@@ -233,3 +233,38 @@ def test_shard_bundle_linear_probing_zs_probe():
     )
     (_, _, te), (zs_c, _), _ = train_all_epochs(cfg, bundle, verbose=False)
     assert 0 <= zs_c["worst_acc"] <= 1
+
+
+def test_shard_bundle_contrastive_matches_unsharded():
+    """BASELINE config 5's large-batch contrastive adapter, data-parallel:
+    SupCon row gathers cross the shard boundaries of a data-sharded
+    embedding table; results must match the single-device run exactly."""
+    from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import (
+        bundle_from_embedding_table,
+        shard_bundle,
+        train_all_epochs,
+    )
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=130, n_val=70, n_test=66, dim=32)  # uneven vs 8
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
+    cfg = TrainConfig(
+        tl_method="contrastive_adapter", epochs=3,
+        dataset="waterbirds", input_dim=32, adapter_feat_dim=8,
+        batch_size=64, batch_size_reg=16, learning_rate=0.5,
+        learning_rate_reg=0.5, lr_decay_epochs=(100,),
+        num_positive=8, num_negative=8, batch_factor=2,
+    )
+    ref = train_all_epochs(cfg, bundle, verbose=False)
+    sharded = shard_bundle(bundle, make_mesh((8,)))
+    got = train_all_epochs(cfg, sharded, verbose=False)
+    for a, b in zip(ref[2]["val"], got[2]["val"]):
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
