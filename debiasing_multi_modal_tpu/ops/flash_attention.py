@@ -50,7 +50,7 @@ def _pad128(s: int) -> int:
     return -(-s // 128) * 128
 
 
-def _pick_blocks(sq: int, skv: int) -> "tuple[int, int]":
+def _pick_blocks(sq: int, skv: int) -> tuple[int, int]:
     """Measured block choice (scripts/tune_flash_blocks.py, v5e round 2).
 
     Mosaic's per-grid-step overhead dominates the kernel at many-small-cells

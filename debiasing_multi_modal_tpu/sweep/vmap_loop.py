@@ -127,7 +127,8 @@ def train_seeds_vmapped(
         def place(tree):  # shard the leading seed axis
             return jax.device_put(tree, seed_sharding)
 
-        stage_put = lambda a: jax.device_put(jnp.asarray(a), replicated)  # noqa: E731
+        def stage_put(a):  # replicate staged constants over the mesh
+            return jax.device_put(jnp.asarray(a), replicated)
     else:
         def place(tree):
             return tree

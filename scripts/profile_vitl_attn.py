@@ -11,7 +11,6 @@ batch sizes — the dispatch policy only changes on in-context numbers.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,25 +20,9 @@ import numpy as np
 
 from debiasing_multi_modal_tpu.models import create_clip
 from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
+from debiasing_multi_modal_tpu.utils.timing import chain_time
 
-ITERS = 6
 GF_PER_IMG = 383.4e9  # XLA cost_analysis at 336px (the 224px figure is 164)
-
-
-def chain_time(fn, *args):
-    @jax.jit
-    def prog(acc, *args):
-        out = fn(*args)
-        return acc + jax.tree.leaves(out)[0].astype(jnp.float32).mean()
-
-    acc = prog(jnp.float32(0.0), *args)
-    float(acc)  # compile + warm
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for _ in range(ITERS):
-        acc = prog(acc, *args)
-    float(acc)
-    return (time.perf_counter() - t0) / ITERS
 
 
 from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
@@ -73,7 +56,7 @@ def main():
             model = create_clip("ViT-L/14@336px", dtype=jnp.bfloat16, attn_impl=impl)
             enc = lambda v, im: model.apply(v, im, method=model.encode_image)  # noqa: E731
             try:
-                dt = chain_time(enc, variables, x)
+                dt = chain_time(enc, variables, x, iters=6) / 1e3
             except Exception as e:
                 print(f"bs={bs:4d} {impl:7s} FAILED: {type(e).__name__}: {e}"[:160],
                       flush=True)

@@ -11,7 +11,6 @@ of docs/DESIGN.md §5; _pick_blocks encodes the winning choices.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,22 +23,7 @@ from debiasing_multi_modal_tpu.ops import flash_attention as fa
 from debiasing_multi_modal_tpu.utils.compilation_cache import (
     enable_persistent_cache,
 )
-
-ITERS = 10
-
-
-def chain_time(fn, *args):
-    @jax.jit
-    def prog(acc, *a):
-        return acc + fn(*a).astype(jnp.float32).mean()
-
-    float(prog(jnp.float32(0), *args))  # compile + warm
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for _ in range(ITERS):
-        acc = prog(acc, *args)
-    float(acc)
-    return (time.perf_counter() - t0) / ITERS * 1e3
+from debiasing_multi_modal_tpu.utils.timing import chain_time
 
 
 def main():
@@ -60,7 +44,7 @@ def main():
             return xla_attn.dot_product_attention(q, q, q, impl="xla")
 
         try:
-            t_x = chain_time(xla, q)
+            t_x = chain_time(xla, q, iters=10)
             print(f"{label:18s} xla                 {t_x:8.2f} ms", flush=True)
         except Exception as e:  # OOM at the biggest shape
             print(f"{label:18s} xla                 FAILED {type(e).__name__}",
@@ -76,7 +60,7 @@ def main():
                 # silently ignored after the first trace
                 return fa.flash_attention(q, q, q, block_q=_bq, block_kv=_bkv)
 
-            t_p = chain_time(pallas, q)
+            t_p = chain_time(pallas, q, iters=10)
             print(f"{label:18s} pallas bq{bq:<4d}bkv{bkv:<4d}{t_p:8.2f} ms",
                   flush=True)
 

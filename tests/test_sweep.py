@@ -24,6 +24,15 @@ BASE = dict(
 )
 
 
+def _assert_results_close(a_results, b_results, tol=2e-3):
+    """Compare two run_seeds outputs: per-seed (train/val/test) dicts plus
+    the two zero-shot probe dicts."""
+    for (a_res, a_zs), (b_res, b_zs) in zip(a_results, b_results):
+        for a_d, b_d in zip(tuple(a_res) + tuple(a_zs), tuple(b_res) + tuple(b_zs)):
+            for k in a_d:
+                assert abs(a_d[k] - b_d[k]) < tol, (k, a_d, b_d)
+
+
 @pytest.fixture(scope="module")
 def bundle():
     meta, table, tc, tg, ts = make_synthetic_dataset(
@@ -69,13 +78,7 @@ def test_vmapped_seeds_match_sequential(bundle, method, extra):
     seeds = [42, 32]
     seq = run_seeds(cfg, bundle, seeds, use_vmap=False)
     vm = run_seeds(cfg, bundle, seeds, use_vmap=True)
-    for (s_res, s_zs), (v_res, v_zs) in zip(seq, vm):
-        for s_d, v_d in zip(s_res, v_res):
-            for k in s_d:
-                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
-        for s_d, v_d in zip(s_zs, v_zs):
-            for k in s_d:
-                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
+    _assert_results_close(seq, vm)
 
 
 def test_sweep_csv_schema(tmp_path, bundle):
@@ -147,10 +150,7 @@ def test_seed_sharded_mesh_matches_unsharded(bundle):
     plain = run_seeds(cfg, bundle, seeds, use_vmap=True)
     mesh = make_mesh(axis_names=("data",))
     sharded = run_seeds(cfg, bundle, seeds, use_vmap=True, mesh=mesh)
-    for (p_res, p_zs), (s_res, s_zs) in zip(plain, sharded):
-        for p_d, s_d in zip(p_res + p_zs, s_res + s_zs):
-            for k in p_d:
-                assert abs(p_d[k] - s_d[k]) < 1e-6, (k, p_d, s_d)
+    _assert_results_close(plain, sharded, tol=1e-6)
 
 
 def test_seed_sharded_mesh_rejects_uneven_split(bundle):
@@ -171,7 +171,4 @@ def test_vmapped_accepts_out_of_uint32_seeds(bundle):
     big = [2 ** 32 + 5, 2 ** 33 + 7]
     seq = run_seeds(cfg, bundle, big, use_vmap=False)
     vm = run_seeds(cfg, bundle, big, use_vmap=True)
-    for (s_res, s_zs), (v_res, v_zs) in zip(seq, vm):
-        for s_d, v_d in zip(s_res + s_zs, v_res + v_zs):
-            for k in s_d:
-                assert abs(s_d[k] - v_d[k]) < 2e-3, (k, s_d, v_d)
+    _assert_results_close(seq, vm)
