@@ -85,19 +85,27 @@ def _pick_blocks(sq: int, skv: int) -> tuple[int, int]:
 #   262 vs 189 imgs/s).  Standalone microbenchmarks at these shapes say the
 #   opposite — they miss XLA's fusion with the surrounding projections;
 #   never dispatch on standalone numbers.
-# - From 1k tokens the measured-blocks kernel (_pick_blocks: 512-row q
-#   blocks) wins IN-CONTEXT too: transformer-layer wall 1.12x at S=1024
-#   bs16 (tie at bs4), 1.18x at S=2048, 1.22x at S=4096 bs16 — and it
-#   never materializes the [B, H, Sq, Skv] score tensor, so it keeps
-#   running where the XLA path OOMs (S=4096 bs64 = 34 GB of logits).
+# - The measured-blocks kernel (_pick_blocks) wins standalone and in
+#   SYNTHETIC transformer layers from 1k tokens (1.12-1.22x at S=1k-4k) —
+#   but EVERY full model measured still favors XLA: ViT-L/14@336px
+#   (S=577: 262.9 vs 238.5 imgs/s) and ViT-L/14@448px (S=1025: 115.1 vs
+#   87.4 imgs/s, where the 512-row q blocks also pad 1025 -> 1536).
+#   Synthetic-layer wins do not survive full-model fusion; the S=1025
+#   full model is the decisive datum (scripts/profile_vitl_448.py).
+# - The kernel's PROVEN role is the memory regime: the XLA path
+#   materializes an activation-dtype [B, H, Sq, Skv] score tensor, so past
+#   a few GiB it degrades and then OOMs; the blockwise kernel never
+#   materializes it and (with measured blocks) runs that regime 4.8x
+#   faster than its round-1 form (S=4096 bs64, 34 GB of logits: 43 ms).
 #
-# "auto" therefore takes the Pallas path for any qualifying sequence of
-# >= 1024 tokens; pass impl="xla"/"pallas" to force either.  NOTE the
-# S=577 whole-block cells (below) win a SYNTHETIC in-context layer 1.12x
-# yet still lose inside the real ViT-L/14@336px encode (238.5 vs 262.9
-# imgs/s) — "in-context" means the full model, so the dispatch boundary
-# stays at 1024.
+# "auto" therefore takes the Pallas path only when the sequence is long
+# AND XLA's score tensor would be prohibitive; pass impl="pallas" to
+# force (the tuned blocks make forced-Pallas competitive everywhere long).
 MIN_AUTO_SEQ_LEN = 1024
+# XLA won every full model whose score tensor fit (up to 8.6 GB of logits
+# on the 16 GB chip); "prohibitive" starts where the materialization would
+# crowd out weights/activations in a real program.
+SCORE_BYTES_THRESHOLD = 8 << 30  # 8 GiB of attention logits
 
 
 def supported(q, k, v, *, mask=None) -> bool:
@@ -109,6 +117,11 @@ def supported(q, k, v, *, mask=None) -> bool:
     # every measurement behind the policy is self-attention (sq == skv);
     # long-query/short-kv cross-attention is unmeasured, so it stays XLA
     if min(q.shape[1], k.shape[1]) < MIN_AUTO_SEQ_LEN:
+        return False
+    b, sq, h, _ = q.shape
+    # the XLA path stores logits in the activation dtype (ops/attention.py)
+    score_bytes = jnp.dtype(q.dtype).itemsize * b * h * sq * k.shape[1]
+    if score_bytes < SCORE_BYTES_THRESHOLD:  # XLA still wins full models
         return False
     return _HAS_PLTPU
 

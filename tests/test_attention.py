@@ -117,27 +117,33 @@ def test_flash_backward_matches_xla_grads(rng, causal, seq, skv):
 
 
 def test_auto_dispatch_policy():
-    """auto -> Pallas for any qualifying sequence >= 1024 tokens (the
-    measured-blocks kernel wins in-context there and never materializes the
-    score tensor — docs/DESIGN.md §5 measured policy)."""
+    """auto -> Pallas only for long sequences whose XLA score tensor would
+    be prohibitive: every FULL MODEL measured (S=50..1025, incl. the real
+    S=1025 ViT-L/14@448px) favors XLA when its scores fit — synthetic-layer
+    wins did not survive full-model fusion (docs/DESIGN.md §5)."""
     from debiasing_multi_modal_tpu.ops import flash_attention as fa
 
     mk = lambda b, s, h, d: jnp.zeros((b, s, h, d), jnp.bfloat16)  # noqa: E731
-    # CLIP-scale: XLA (in-context measurement, not standalone)
+    # CLIP-scale and real long-context models: XLA
     assert not fa.supported(mk(512, 50, 12, 64), mk(512, 50, 12, 64), mk(512, 50, 12, 64))
     assert not fa.supported(mk(64, 257, 16, 64), mk(64, 257, 16, 64), mk(64, 257, 16, 64))
-    # S=577 whole-block cells beat a synthetic layer but LOSE inside the
-    # real ViT-L/14@336px encode -> auto stays XLA below 1024
     vl = mk(128, 577, 16, 64)
     assert not fa.supported(vl, vl, vl)
-    # >= 1024 tokens: Pallas at any batch size (iff pltpu available)
-    for b, s in ((4, 4096), (64, 4096), (16, 1024)):
-        x = mk(b, s, 8, 64)
-        assert fa.supported(x, x, x) == fa._HAS_PLTPU
-    # long-query/short-kv cross-attention is unmeasured -> XLA
-    assert not fa.supported(mk(4, 4096, 8, 64), mk(4, 77, 8, 64), mk(4, 77, 8, 64))
-    # additive masks and odd head dims stay on XLA
+    vl448 = mk(32, 1025, 16, 64)  # the decisive full-model datum
+    assert not fa.supported(vl448, vl448, vl448)
+    # long but fits comfortably -> XLA
+    assert not fa.supported(mk(4, 4096, 8, 64), mk(4, 4096, 8, 64), mk(4, 4096, 8, 64))
+    # prohibitive score tensor (17 GiB bf16) -> Pallas (iff pltpu available)
     big = mk(64, 4096, 8, 64)
+    assert fa.supported(big, big, big) == fa._HAS_PLTPU
+    # byte accounting follows the activation dtype
+    bf = mk(16, 4096, 8, 64)
+    assert not fa.supported(bf, bf, bf)  # 4.3 GiB bf16 scores: XLA
+    f32 = jnp.zeros((16, 4096, 8, 64), jnp.float32)
+    assert fa.supported(f32, f32, f32) == fa._HAS_PLTPU  # 8.6 GiB f32
+    # long-query/short-kv cross-attention is unmeasured -> XLA
+    assert not fa.supported(mk(64, 4096, 8, 64), mk(64, 77, 8, 64), mk(64, 77, 8, 64))
+    # additive masks and odd head dims stay on XLA
     assert not fa.supported(big, big, big, mask=jnp.zeros(()))
     odd = mk(64, 4096, 8, 80)
     assert not fa.supported(odd, odd, odd)
