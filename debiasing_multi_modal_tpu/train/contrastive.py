@@ -22,7 +22,6 @@ import functools
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 
 from debiasing_multi_modal_tpu.train.losses import supcon_loss
 from debiasing_multi_modal_tpu.train.steps import TrainState, _sgd

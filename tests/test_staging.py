@@ -79,3 +79,13 @@ def test_enable_persistent_cache(tmp_path):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", prior_min
         )
+
+
+def test_chain_time_measures_positive_wall():
+    from debiasing_multi_modal_tpu.utils.timing import chain_time
+
+    dt = chain_time(lambda x: x * 2, jnp.ones((4, 4)), iters=2)
+    assert dt > 0.0
+    # tuple/tree outputs are accepted (first leaf folds into the chain)
+    dt = chain_time(lambda x: (x + 1, x - 1), jnp.ones((4, 4)), iters=2)
+    assert dt > 0.0
