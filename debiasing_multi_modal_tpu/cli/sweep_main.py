@@ -22,6 +22,9 @@ def extend_parser(p):
     p.add_argument("--lr_multiple", type=float, default=None)
     p.add_argument("--result_root", type=str, default="results_iterative")
     p.add_argument("--no_vmap", action="store_true")
+    p.add_argument("--seed_mesh", action="store_true",
+                   help="shard each cell's seed axis across all devices "
+                        "(len(seeds) must divide the device count)")
     return p
 
 
@@ -49,6 +52,12 @@ def main(args):
     def parse_list(s, typ):
         return [typ(v) for v in s.split(",")] if s else (None,)
 
+    mesh = None
+    if args.seed_mesh:
+        from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=("data",))
+
     out = run_sweep(
         cfg,
         bundle,
@@ -59,6 +68,7 @@ def main(args):
         lr_multiple=args.lr_multiple,
         result_root=args.result_root,
         use_vmap=not args.no_vmap,
+        mesh=mesh,
         verbose=True,
     )
     for path in out:

@@ -115,8 +115,12 @@ def run_sweep(
     result_root: str = "results_iterative",
     use_vmap: bool = True,
     verbose: bool = False,
+    mesh=None,
 ) -> Dict[str, list]:
-    """Nested lr x bs x bsr grid, each cell trained over all seeds."""
+    """Nested lr x bs x bsr grid, each cell trained over all seeds.
+
+    ``mesh`` shards each cell's seed axis across devices (vmapped path)."""
+
     all_results = {}
     for lr in lr_list:
         for bs in bs_list:
@@ -130,7 +134,10 @@ def run_sweep(
                     cfg = cfg.replace(batch_size=bs)
                 if bsr is not None:
                     cfg = cfg.replace(batch_size_reg=bsr)
-                results = run_seeds(cfg, bundle, seeds, use_vmap=use_vmap, verbose=verbose)
+                results = run_seeds(
+                    cfg, bundle, seeds, use_vmap=use_vmap, verbose=verbose,
+                    mesh=mesh,
+                )
                 path = os.path.join(result_root, cell_filename(cfg))
                 aggregate_csv(results, path)
                 all_results[path] = results
