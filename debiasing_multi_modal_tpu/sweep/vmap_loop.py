@@ -198,7 +198,7 @@ def train_seeds_vmapped(
     # jnp.asarray re-uploads were measured to dominate the sweep wall-clock
     # over the remote-TPU tunnel (docs/DESIGN.md §4).
     stage = DeviceCache(put=stage_put)
-    eval_plans: Dict[Tuple[int, int], Tuple[jax.Array, jax.Array]] = {}
+    eval_plans: Dict[Tuple[int, int], tuple] = {}
 
     def vm_train(module, st, split, labels, text, plansS, lrs, mask_tree):
         idxS = place(jnp.asarray(np.stack([p.indices for p in plansS])))
@@ -213,13 +213,17 @@ def train_seeds_vmapped(
 
     def vm_eval(module, paramsS, statsS, split, labels, text):
         # keyed like loop.py's _evaluate plan_cache: (split identity, batch
-        # size) so a future second eval batch size can't reuse a wrong plan
+        # size) so a future second eval batch size can't reuse a wrong plan;
+        # the entry retains the split object and verifies identity on hit so
+        # a recycled id() can never alias to a wrong-length plan.
         key = (id(split), eval_bs)
-        cached = eval_plans.get(key)
-        if cached is None:
+        entry = eval_plans.get(key)
+        if entry is not None and entry[0] is split:
+            cached = entry[1]
+        else:
             plan = epoch_plan(len(split), eval_bs, shuffle=False)
             cached = (stage(plan.indices), stage(plan.mask))
-            eval_plans[key] = cached
+            eval_plans[key] = (split, cached)
         idx, msk = cached
 
         return eval_epoch_vmapped(

@@ -235,13 +235,18 @@ def _evaluate(
     """``stage``/``plan_cache`` let a driver reuse device-resident constants
     across epochs (utils/staging.DeviceCache) — per-epoch re-uploads over the
     remote-TPU tunnel were measured to dominate wall-clock (DESIGN.md §4)."""
+    # Key on id() but retain the split object in the entry and verify identity
+    # on hit: a recycled id() after garbage collection can never alias to a
+    # wrong-length plan (same guard DeviceCache applies to host arrays).
     key = (id(split), batch_size)
-    cached = None if plan_cache is None else plan_cache.get(key)
-    if cached is None:
+    entry = None if plan_cache is None else plan_cache.get(key)
+    if entry is not None and entry[0] is split:
+        cached = entry[1]
+    else:
         plan = epoch_plan(len(split), batch_size, shuffle=False)
         cached = (jnp.asarray(plan.indices), jnp.asarray(plan.mask))
         if plan_cache is not None:
-            plan_cache[key] = cached
+            plan_cache[key] = (split, cached)
     stats = eval_epoch(
         module,
         state_params,
