@@ -75,7 +75,12 @@ class ExtractionRunner:
         mesh=None,
         preprocessed: bool = False,
         normalized: bool = False,
+        tensor_parallel: bool = False,
     ):
+        """``tensor_parallel=True`` shards the encoder parameters over the
+        mesh's ``model`` axis (Megatron pattern, parallel/tp.py) on top of the
+        ``data``-axis batch sharding — the pod-scale layout for ViT-L-class
+        towers whose replicated params would crowd HBM."""
         self.model = model
         self.mesh = mesh or make_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
@@ -83,7 +88,23 @@ class ExtractionRunner:
         self.normalized = normalized  # --normalized flag: store normalized embeddings
 
         rep = replicated(self.mesh)
-        self.variables = jax.device_put(variables, rep)
+        if tensor_parallel:
+            from debiasing_multi_modal_tpu.parallel.tp import (
+                shard_variables,
+                tp_shardings,
+                validate_tp,
+            )
+
+            if "model" not in self.mesh.axis_names:
+                raise ValueError(
+                    "tensor_parallel requires a mesh with a 'model' axis"
+                )
+            validate_tp(model.config, self.mesh.shape["model"])
+            self._var_shardings = tp_shardings(variables, self.mesh)
+            self.variables = shard_variables(variables, self.mesh)
+        else:
+            self._var_shardings = rep
+            self.variables = jax.device_put(variables, rep)
         # [D, C] normalized zero-shot weight matrix (stacked dim=1, :77)
         w = zeroshot_text.T.astype(np.float32)
         self.zs_weights = jax.device_put(jnp.asarray(w), rep)
@@ -116,7 +137,7 @@ class ExtractionRunner:
 
         return jax.jit(
             step,
-            in_shardings=(rep, rep, data_sh),
+            in_shardings=(self._var_shardings, rep, data_sh),
             out_shardings=(data_sh, data_sh),
         )
 

@@ -3,3 +3,9 @@ from debiasing_multi_modal_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicate,
 )
+from debiasing_multi_modal_tpu.parallel.tp import (  # noqa: F401
+    shard_variables,
+    tp_shardings,
+    tp_specs,
+    validate_tp,
+)
