@@ -35,6 +35,9 @@ def main(args):
         enable_persistent_cache,
     )
 
+    from debiasing_multi_modal_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     enable_persistent_cache()
 
     cfg = config_from_args(args)

@@ -60,6 +60,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("results_dir")
     ap.add_argument("--tol", type=float, default=0.005)  # 0.5 pt north star
+    ap.add_argument(
+        "--structural",
+        action="store_true",
+        help="dress-rehearsal mode (synthetic fixture, random weights): "
+        "verify every found cell parses with a valid test_mean worst_acc in "
+        "[0, 1], report the diff, but do not enforce the accuracy band",
+    )
     args = ap.parse_args()
 
     failures = 0
@@ -71,12 +78,19 @@ def main():
             continue
         found += 1
         got = test_mean_worst_acc(path)
-        bound = args.tol + 2 * std
-        ok = abs(got - want) <= bound
-        print(
-            f"{'PASS' if ok else 'FAIL'}  {name}: wga {got:.4f} vs "
-            f"reference {want:.4f} +- {std:.4f} (bound {bound:.4f})"
-        )
+        if args.structural:
+            ok = 0.0 <= got <= 1.0
+            print(
+                f"{'OK' if ok else 'BAD'}    {name}: wga {got:.4f} "
+                f"(structural check only; reference {want:.4f})"
+            )
+        else:
+            bound = args.tol + 2 * std
+            ok = abs(got - want) <= bound
+            print(
+                f"{'PASS' if ok else 'FAIL'}  {name}: wga {got:.4f} vs "
+                f"reference {want:.4f} +- {std:.4f} (bound {bound:.4f})"
+            )
         failures += 0 if ok else 1
     if not found:
         print("no known cells found — run the sweeps first")

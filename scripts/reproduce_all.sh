@@ -8,10 +8,28 @@
 # seeds, CA bsr grid x 3 seeds, vmapped) -> ablation tables -> automated diff
 # vs BASELINE.md (exits non-zero if any produced cell misses the 0.5 pt
 # north-star band).
+#
+# Environment knobs (all optional; defaults reproduce the real-asset chain):
+#   REPRO_DATA_ROOT    dataset + embedding root (default: data)
+#   REPRO_RESULT_ROOT  sweep CSV output dir (default: results_iterative)
+#   REPRO_EXTRACT_ARGS extra extract_main args (e.g. "--host_resolution 64")
+#   REPRO_SWEEP_ARGS   extra sweep_main args (e.g. "--epochs 4 ...")
+#   REPRO_CHECK_ARGS   extra check_vs_baseline args (e.g. "--structural")
+#   REPRO_RUN_NOTEBOOKS=1  also execute the three demo notebooks (nbclient)
+# The synthetic dress rehearsal (tests/test_reproduce_all.py) exercises this
+# exact chain end-to-end against scripts/make_synthetic_fixture.py output.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-CKPT="${1:-$HOME/.cache/clip/RN50.pt}"
+ROOT="${REPRO_DATA_ROOT:-data}"
+RESULTS="${REPRO_RESULT_ROOT:-results_iterative}"
+read -r -a EXTRACT_EXTRA <<< "${REPRO_EXTRACT_ARGS:-}" || true
+read -r -a SWEEP_EXTRA <<< "${REPRO_SWEEP_ARGS:-}" || true
+read -r -a CHECK_EXTRA <<< "${REPRO_CHECK_ARGS:-}" || true
+SWEEP_EXTRA+=(--result_root "$RESULTS")
+export REPRO_DATA_ROOT="$ROOT"
+
+CKPT="${1:-${REPRO_CKPT:-$HOME/.cache/clip/RN50.pt}}"
 CKPT_ARGS=()
 if [ -f "$CKPT" ]; then
   CKPT_ARGS=(--checkpoint "$CKPT")
@@ -20,46 +38,52 @@ else
 fi
 
 # ---- Stage A: embeddings for both datasets
-bash scripts/save_embedding.sh "${CKPT_ARGS[@]}"
+bash scripts/save_embedding.sh "${CKPT_ARGS[@]}" ${EXTRACT_EXTRA[@]+"${EXTRACT_EXTRA[@]}"}
 
-# ---- Stage B: headline sweeps (results land in results_iterative/)
-bash scripts/run_sweep_wb.sh
-bash scripts/run_sweep_ca.sh
+# ---- Stage B: headline sweeps (results land in $RESULTS/)
+bash scripts/run_sweep_wb.sh "${SWEEP_EXTRA[@]}"
+bash scripts/run_sweep_ca.sh "${SWEEP_EXTRA[@]}"
 
 # ---- ablation rows used by check_vs_baseline (the exact configurations the
 # reference's ablations notebook reads, cells 7-21)
-emb="data/embeddings_unnormalized/waterbirds"
+emb="$ROOT/embeddings_unnormalized/waterbirds"
 common=(--dataset waterbirds
   --text_embedding_dir "$emb/clip_class.json"
   --text_spurious_embedding_dir "$emb/clip_spurious.json"
   --text_group_embedding_dir "$emb/clip_group.json"
   --image_embedding_dir "$emb/RN50/clip.npz"
-  --data_dir data/waterbirds/waterbird_complete95_forest2water2
+  --data_dir "$ROOT/waterbirds/waterbird_complete95_forest2water2"
   --num_iter 3 --random_seeds 42,32,22 --lr_decay_rate 0.1
   --epochs 100 --lr_decay_epochs 90,95)
 two_phase=(--epochs_feature_learning 40 --warm_reg --lr_multiple 1.0)
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" \
-  --tl_method linear_probing --lr_list 1 --bs_list 512 --bsr_list 64
+  --tl_method linear_probing --lr_list 1 --bs_list 512 --bsr_list 64 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" \
-  --tl_method adapter --lr_list 10 --bs_list 1024 --bsr_list 64
+  --tl_method adapter --lr_list 10 --bs_list 1024 --bsr_list 64 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
-  --tl_method adapter_reg --lr_list 10 --bs_list 512 --bsr_list 256
+  --tl_method adapter_reg --lr_list 10 --bs_list 512 --bsr_list 256 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
   --tl_method adapter_reg --use_cls_prompt_in_reg \
-  --lr_list 10 --bs_list 512 --bsr_list 64
+  --lr_list 10 --bs_list 512 --bsr_list 64 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
   --tl_method adapter_reg_seq --add_adapter \
-  --lr_list 1 --bs_list 1024 --bsr_list 64
+  --lr_list 1 --bs_list 1024 --bsr_list 64 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
   --tl_method adapter_reg_seq --use_cls_prompt_in_reg --add_adapter \
-  --lr_list 10 --bs_list 512 --bsr_list 256
+  --lr_list 10 --bs_list 512 --bsr_list 256 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
   --tl_method adapter_reg_seq_alter \
-  --lr_list 10 --bs_list 512 --bsr_list 256
+  --lr_list 10 --bs_list 512 --bsr_list 256 "${SWEEP_EXTRA[@]}"
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
   --tl_method adapter_reg_seq_alter --balance_val --add_adapter \
-  --lr_list 1 --bs_list 1024 --bsr_list 512
+  --lr_list 1 --bs_list 1024 --bsr_list 512 "${SWEEP_EXTRA[@]}"
 
 # ---- report tables + automated acceptance diff
-python scripts/ablation_tables.py results_iterative
-python scripts/check_vs_baseline.py results_iterative
+python scripts/ablation_tables.py "$RESULTS"
+python scripts/check_vs_baseline.py "$RESULTS" ${CHECK_EXTRA[@]+"${CHECK_EXTRA[@]}"}
+
+# ---- optional: execute the three demo notebook counterparts (C16) so the
+# default chain covers them (VERDICT r2: notebooks were opt-in only)
+if [ "${REPRO_RUN_NOTEBOOKS:-0}" = "1" ]; then
+  RUN_NB_TESTS=1 python -m pytest tests/test_notebooks.py -q
+fi

