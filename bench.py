@@ -157,6 +157,17 @@ def main():
     # the ~10 s tunnel compile — one-time cost, not pipeline throughput
     runner.encode_batch(images)
 
+    # gauge the tunnel's H2D bandwidth at measurement time: the e2e number
+    # is upload-bound here (scripts/profile_e2e_stages.py, DESIGN §9), and
+    # tunnel bandwidth varies >2x between runs — recording it makes e2e
+    # numbers comparable across artifacts
+    up = jax.jit(lambda x: x[0, 0, 0, 0].astype(jnp.float32))
+    float(up(jnp.asarray(images)))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(up(jnp.asarray(images)))
+    upload_mb_s = images.nbytes / 2**20 / ((time.perf_counter() - t0) / 3)
+
     t0 = time.perf_counter()
     table = runner.run(stream(), prefetch_depth=2)
     dt_e2e = time.perf_counter() - t0
@@ -204,6 +215,30 @@ def main():
     dt_b = time.perf_counter() - t0
     epochs_per_sec = ep_iters / dt_b
 
+    # ---- acceptance (BASELINE.md "Targets for the TPU rebuild"):
+    # RN50: throughput vs the driver-set 5,000 imgs/sec/chip target.
+    # ViTs: MFU vs the MFU floor — imgs/s x GF/img over the chip's peak
+    # bf16 TF/s.  GF/img are XLA's own compiled cost_analysis numbers
+    # (docs/DESIGN.md §1); peak defaults to v5e (197 TF/s bf16), override
+    # with BENCH_PEAK_TFLOPS on other chip generations.
+    GFLOPS_PER_IMG = {
+        "RN50": 11.4,
+        "ViT-B/32": 9.1,
+        "ViT-L/14": 164.0,
+        "ViT-L/14@336px": 383.0,
+    }
+    MFU_TARGET = {"ViT-B/32": 0.40, "ViT-L/14": 0.45, "ViT-L/14@336px": 0.45}
+    peak_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    mfu = None
+    if backbone in GFLOPS_PER_IMG:
+        mfu = per_chip * GFLOPS_PER_IMG[backbone] / 1e3 / peak_tf
+    if backbone == "RN50":
+        vs_baseline = round(per_chip / 5000.0, 3)
+    elif backbone in MFU_TARGET and mfu is not None:
+        vs_baseline = round(mfu / MFU_TARGET[backbone], 3)
+    else:
+        vs_baseline = None
+
     print(
         json.dumps(
             {
@@ -213,11 +248,10 @@ def main():
                 ),
                 "value": round(per_chip, 1),
                 "unit": "imgs/sec/chip",
-                # the 5k target is defined for RN50 only (BASELINE.md)
-                "vs_baseline": (
-                    round(per_chip / 5000.0, 3) if backbone == "RN50" else None
-                ),
+                "vs_baseline": vs_baseline,
+                "mfu": round(mfu, 3) if mfu is not None else None,
                 "e2e_host_fed_imgs_per_sec_per_chip": round(e2e_per_chip, 1),
+                "e2e_upload_mb_per_sec": round(upload_mb_s, 1),
                 "e2e_batches": n_e2e,
                 "batch": batch,
                 "stage_b_train_epochs_per_sec": round(epochs_per_sec, 2),
