@@ -22,6 +22,10 @@ def extend_parser(p):
     p.add_argument("--lr_multiple", type=float, default=None)
     p.add_argument("--result_root", type=str, default="results_iterative")
     p.add_argument("--no_vmap", action="store_true")
+    p.add_argument("--stack_lr_axis", action="store_true",
+                   help="train all --lr_list cells as stacked rows of one "
+                        "vmapped program (identical results, |lr_list|x "
+                        "fewer programs)")
     p.add_argument("--seed_mesh", action="store_true",
                    help="shard each cell's seed axis across all devices "
                         "(len(seeds) must divide the device count)")
@@ -73,6 +77,7 @@ def main(args):
         use_vmap=not args.no_vmap,
         mesh=mesh,
         verbose=True,
+        stack_lr_axis=args.stack_lr_axis,
     )
     for path in out:
         print("wrote", path)

@@ -116,29 +116,70 @@ def run_sweep(
     use_vmap: bool = True,
     verbose: bool = False,
     mesh=None,
+    stack_lr_axis: bool = False,
 ) -> Dict[str, list]:
     """Nested lr x bs x bsr grid, each cell trained over all seeds.
 
-    ``mesh`` shards each cell's seed axis across devices (vmapped path)."""
+    ``mesh`` shards each cell's seed axis across devices (vmapped path).
 
+    ``stack_lr_axis`` collapses the lr loop into the vmapped program: cells
+    that differ only in learning rate share every tensor shape, so all of
+    them train as extra stacked rows of ONE program per epoch
+    (train_seeds_vmapped ``lr_grid``) instead of the reference's outer
+    Python loop (final_main_iteration_ca.py:1179-1256) — |lr_list|x fewer
+    program dispatches per epoch, identical per-cell results (pinned by
+    test_sweep.py::test_stacked_lr_axis_matches_per_cell_runs)."""
+
+    def _cell_cfg(cfg, lr):
+        if lr is None:
+            return cfg
+        cfg = cfg.replace(learning_rate=lr)
+        if lr_multiple is not None:
+            cfg = cfg.replace(learning_rate_reg=lr * lr_multiple)
+        return cfg
+
+    lr_values = list(lr_list)
+    stack = (
+        stack_lr_axis
+        and use_vmap
+        and len(lr_values) > 1
+        and all(lr is not None for lr in lr_values)
+    )
     all_results = {}
-    for lr in lr_list:
-        for bs in bs_list:
-            for bsr in bsr_list:
-                cfg = base_cfg
-                if lr is not None:
-                    cfg = cfg.replace(learning_rate=lr)
-                    if lr_multiple is not None:
-                        cfg = cfg.replace(learning_rate_reg=lr * lr_multiple)
-                if bs is not None:
-                    cfg = cfg.replace(batch_size=bs)
-                if bsr is not None:
-                    cfg = cfg.replace(batch_size_reg=bsr)
-                results = run_seeds(
-                    cfg, bundle, seeds, use_vmap=use_vmap, verbose=verbose,
-                    mesh=mesh,
+    for bs in bs_list:
+        for bsr in bsr_list:
+            cfg0 = base_cfg
+            if bs is not None:
+                cfg0 = cfg0.replace(batch_size=bs)
+            if bsr is not None:
+                cfg0 = cfg0.replace(batch_size_reg=bsr)
+            if stack:
+                from debiasing_multi_modal_tpu.sweep.vmap_loop import (
+                    train_seeds_vmapped,
                 )
-                path = os.path.join(result_root, cell_filename(cfg))
-                aggregate_csv(results, path)
-                all_results[path] = results
+
+                grid_cfgs = [_cell_cfg(cfg0, lr) for lr in lr_values]
+                lr_grid = [
+                    (c.learning_rate, c.learning_rate_reg) for c in grid_cfgs
+                ]
+                rows = train_seeds_vmapped(
+                    cfg0, bundle, seeds, verbose=verbose, mesh=mesh,
+                    lr_grid=lr_grid,
+                )
+                n = len(seeds)
+                for gi, cfg in enumerate(grid_cfgs):
+                    results = rows[gi * n : (gi + 1) * n]
+                    path = os.path.join(result_root, cell_filename(cfg))
+                    aggregate_csv(results, path)
+                    all_results[path] = results
+            else:
+                for lr in lr_values:
+                    cfg = _cell_cfg(cfg0, lr)
+                    results = run_seeds(
+                        cfg, bundle, seeds, use_vmap=use_vmap,
+                        verbose=verbose, mesh=mesh,
+                    )
+                    path = os.path.join(result_root, cell_filename(cfg))
+                    aggregate_csv(results, path)
+                    all_results[path] = results
     return all_results

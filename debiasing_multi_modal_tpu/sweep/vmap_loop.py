@@ -98,6 +98,7 @@ def train_seeds_vmapped(
     seeds: Sequence[int],
     verbose: bool = False,
     mesh=None,
+    lr_grid: Optional[Sequence[Tuple[float, float]]] = None,
 ):
     """Train all seeds simultaneously; returns a list (per seed) of the same
     ``((best_train, best_val, best_test), (zs_class, zs_spurious))`` tuples
@@ -110,9 +111,32 @@ def train_seeds_vmapped(
     partitions every epoch program from the input shardings; no collectives
     are needed until the tiny per-epoch count fetch.  ``len(seeds)`` must be
     divisible by the mesh's ``data``-axis size.
+
+    ``lr_grid`` stacks a learning-rate GRID axis into the same program: rows
+    become (lr cell x seed) pairs — [(lr, lr_reg), ...] outer, seeds inner —
+    each row training under its own schedule (per-row ``lrs`` in
+    train_epoch_vmapped).  Grid cells that differ only in lr share every
+    tensor shape, so the reference's outer lr loop
+    (final_main_iteration_ca.py:1179-1256) collapses into one XLA program
+    per epoch.  Results return in row order (lr-major).
     """
+    if lr_grid is not None:
+        row_cfgs = [
+            cfg.replace(learning_rate=float(lr), learning_rate_reg=float(lrr))
+            for (lr, lrr) in lr_grid
+            for _ in seeds
+        ]
+        seeds = [s for _ in lr_grid for s in seeds]
+    else:
+        row_cfgs = None
     S = len(seeds)
     rngs = [np.random.default_rng(s) for s in seeds]
+
+    def batch_lrs(epoch, nb, phase):
+        """[nb] shared schedule, or [S, nb] per-row when lr-stacked."""
+        if row_cfgs is None:
+            return epoch_batch_lrs(cfg, epoch, nb, phase)
+        return np.stack([epoch_batch_lrs(rc, epoch, nb, phase) for rc in row_cfgs])
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -256,14 +280,14 @@ def train_seeds_vmapped(
 
         if cfg.tl_method == "adapter_reg":
             plans = make_plans(len(bundle.train), cfg.batch_size)
-            lrs = epoch_batch_lrs(cfg, epoch, plans[0].num_batches, 1)
+            lrs = batch_lrs(epoch, plans[0].num_batches, 1)
             state, statsS = vm_train(
                 single, state, bundle.train, train_labels, text_class, plans,
                 lrs, full_mask,
             )
             group_prompt = not cfg.use_cls_prompt_in_reg
             rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
-            rlrs = epoch_batch_lrs(cfg, epoch, rplans[0].num_batches, 1)
+            rlrs = batch_lrs(epoch, rplans[0].num_batches, 1)
             state, reg_statsS = vm_train(
                 single, state, reg_split,
                 reg_labels_group if group_prompt else reg_labels_target,
@@ -318,7 +342,7 @@ def train_seeds_vmapped(
             labels2 = reg_labels_group if use_group else reg_labels_target
             text2 = text_group if use_group else text_class
             rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
-            rlrs = epoch_batch_lrs(cfg, epoch, rplans[0].num_batches, 2)
+            rlrs = batch_lrs(epoch, rplans[0].num_batches, 2)
             if cfg.add_adapter:
                 ma_state, statsS = vm_train(
                     multiple, ma_state, reg_split, labels2, text2, rplans,
@@ -362,7 +386,7 @@ def train_seeds_vmapped(
                 nb = max(len(r) // cfg.batch_factor, 1)
                 rowsS.append(r[: nb * cfg.batch_factor].reshape(nb, cfg.batch_factor, -1))
             rowsS = place(jnp.asarray(np.stack(rowsS)))
-            lrsj = jnp.asarray(epoch_batch_lrs(cfg, epoch, rowsS.shape[1], 1))
+            lrsj = jnp.asarray(batch_lrs(epoch, rowsS.shape[1], 1))
             mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
             subS = TrainState(
                 state.params["adapter"],
@@ -398,7 +422,7 @@ def train_seeds_vmapped(
                     for i in range(S)
                 ]
             plans = make_plans(len(bundle.train), cfg.batch_size, orders=orders)
-            lrs = epoch_batch_lrs(cfg, epoch, plans[0].num_batches, 1)
+            lrs = batch_lrs(epoch, plans[0].num_batches, 1)
             state, statsS = vm_train(
                 single, state, bundle.train, train_labels, text_class, plans,
                 lrs, full_mask,

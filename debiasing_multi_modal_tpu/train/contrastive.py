@@ -90,7 +90,7 @@ def train_contrastive_epoch_vmapped(
     state: TrainState,  # leading seed axis
     embeddings: jax.Array,  # shared
     rows: jax.Array,  # [S, nb, rows_per_step, A+P+Nn] per-seed shuffles
-    lrs: jax.Array,  # [nb] shared schedule
+    lrs: jax.Array,  # [nb] shared schedule, or [S, nb] per-row schedules
     train_mask,  # scalar-leaf 0/1 pytree, shared
     *,
     num_anchor: int,
@@ -103,12 +103,14 @@ def train_contrastive_epoch_vmapped(
     """S seeds' SupCon epochs in one compiled program (module-level jit —
     see steps.train_epoch_vmapped for why)."""
 
-    def one(st, rows_i):
+    def one(st, rows_i, lrs_i):
         return _train_contrastive_epoch_impl(
-            module, st, embeddings, rows_i, lrs, train_mask,
+            module, st, embeddings, rows_i, lrs_i, train_mask,
             num_anchor=num_anchor, num_positive=num_positive,
             num_negative=num_negative, temperature=temperature,
             momentum=momentum, weight_decay=weight_decay,
         )
 
-    return jax.vmap(one)(state, rows)
+    if lrs.ndim == 2:
+        return jax.vmap(one)(state, rows, lrs)
+    return jax.vmap(lambda st, r: one(st, r, lrs))(state, rows)

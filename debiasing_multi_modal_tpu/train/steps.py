@@ -162,7 +162,7 @@ def train_epoch_vmapped(
     groups: jax.Array,
     idx: jax.Array,  # [S, nb, B] per-seed shuffles
     mask: jax.Array,  # [S, nb, B]
-    lrs: jax.Array,  # [nb] shared schedule
+    lrs: jax.Array,  # [nb] shared schedule, or [S, nb] per-row schedules
     text: jax.Array,
     train_mask: Any,  # scalar-leaf 0/1 pytree, shared
     *,
@@ -174,16 +174,22 @@ def train_epoch_vmapped(
 
     Module-level jit so every epoch of every sweep reuses the same cache
     entry — a per-epoch ``jax.vmap`` closure would re-trace each call.
+
+    2-D ``lrs`` gives each stacked row its own schedule — the lr-axis grid
+    stacking of ``run_sweep(stack_lr_axis=True)``, where rows are
+    (lr cell x seed) pairs rather than seeds alone.
     """
 
-    def one(st, idx_i, msk_i):
+    def one(st, idx_i, msk_i, lrs_i):
         return _train_epoch_impl(
-            module, st, embeddings, labels, groups, idx_i, msk_i, lrs, text,
+            module, st, embeddings, labels, groups, idx_i, msk_i, lrs_i, text,
             train_mask, n_groups=n_groups, momentum=momentum,
             weight_decay=weight_decay,
         )
 
-    return jax.vmap(one)(state, idx, mask)
+    if lrs.ndim == 2:
+        return jax.vmap(one)(state, idx, mask, lrs)
+    return jax.vmap(lambda st, i, m: one(st, i, m, lrs))(state, idx, mask)
 
 
 def _eval_epoch_impl(

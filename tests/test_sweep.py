@@ -172,3 +172,57 @@ def test_vmapped_accepts_out_of_uint32_seeds(bundle):
     seq = run_seeds(cfg, bundle, big, use_vmap=False)
     vm = run_seeds(cfg, bundle, big, use_vmap=True)
     _assert_results_close(seq, vm)
+
+
+def test_stacked_lr_axis_matches_per_cell_runs(bundle, tmp_path):
+    """lr-axis grid stacking: cells differing only in learning rate trained
+    as stacked rows of ONE vmapped program must reproduce the per-cell runs
+    exactly (same seeds, same RNG streams, per-row lr schedules)."""
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        balance_val=True, add_adapter=True, warm_reg=True, **BASE,
+    )
+    seeds = [42, 32]
+    lrs = [0.5, 2.0]
+    plain = run_sweep(
+        cfg, bundle, seeds, lr_list=lrs, lr_multiple=2.0,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    stacked = run_sweep(
+        cfg, bundle, seeds, lr_list=lrs, lr_multiple=2.0,
+        result_root=str(tmp_path / "stacked"), use_vmap=True,
+        stack_lr_axis=True,
+    )
+    assert {os.path.basename(p) for p in plain} == {
+        os.path.basename(p) for p in stacked
+    }
+    for path, results in plain.items():
+        other = stacked[str(tmp_path / "stacked" / os.path.basename(path))]
+        _assert_results_close(results, other, tol=1e-6)
+        # CSV artifacts byte-identical
+        with open(path) as f, open(
+            str(tmp_path / "stacked" / os.path.basename(path))
+        ) as g:
+            assert f.read() == g.read()
+
+
+def test_stacked_lr_axis_contrastive(bundle, tmp_path):
+    """The contrastive method's per-row lr schedules stack too."""
+    cfg = TrainConfig(
+        tl_method="contrastive_adapter", epochs=2, num_anchor=2,
+        num_positive=4, num_negative=4, batch_factor=2, **BASE,
+    )
+    seeds = [42]
+    lrs = [0.1, 1.0]
+    plain = run_sweep(
+        cfg, bundle, seeds, lr_list=lrs,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    stacked = run_sweep(
+        cfg, bundle, seeds, lr_list=lrs,
+        result_root=str(tmp_path / "stacked"), use_vmap=True,
+        stack_lr_axis=True,
+    )
+    for path, results in plain.items():
+        other = stacked[str(tmp_path / "stacked" / os.path.basename(path))]
+        _assert_results_close(results, other, tol=1e-6)
