@@ -92,6 +92,51 @@ def _token_batch(n, seq=77, vocab=49408):
     return toks
 
 
+def test_zoo_wide_config_sniffing():
+    """Shape sniffing recovers EVERY zoo architecture from the reference's
+    real state-dict structure.  Models are built on torch's meta device
+    (shapes without storage — RN50x64's 1.2 GB is instant), so this covers
+    all nine public checkpoints (clip/clip.py:30-40) at their true shapes,
+    not just the two activation-parity models."""
+    import torch
+
+    mod = _load_reference_model_module()
+    for name, reg in CONFIGS.items():
+        with torch.device("meta"):
+            ref = mod.CLIP(
+                reg.embed_dim,
+                reg.image_resolution,
+                reg.vision_layers,
+                reg.vision_width,
+                reg.vision_patch_size,
+                reg.context_length,
+                reg.vocab_size,
+                reg.transformer_width,
+                reg.transformer_heads,
+                reg.transformer_layers,
+            )
+        cfg = config_from_state_dict(ref.state_dict(), name=name)
+        assert (
+            cfg.embed_dim,
+            cfg.image_resolution,
+            cfg.vision_layers,
+            cfg.vision_width,
+            cfg.vision_patch_size,
+            cfg.transformer_width,
+            cfg.transformer_heads,
+            cfg.transformer_layers,
+        ) == (
+            reg.embed_dim,
+            reg.image_resolution,
+            reg.vision_layers,
+            reg.vision_width,
+            reg.vision_patch_size,
+            reg.transformer_width,
+            reg.transformer_heads,
+            reg.transformer_layers,
+        ), name
+
+
 @pytest.mark.parametrize("name", ["RN50", "ViT-B/32"], ids=["rn50", "vitb32"])
 def test_full_shape_archive_sniff_and_parity(name, tmp_path):
     import torch
