@@ -62,6 +62,11 @@ def build_parser():
                    help="crash-safe mode: persist a result shard every N "
                         "batches; a re-run resumes after the last complete "
                         "shard instead of starting over")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard encoder params over a model axis of this size "
+                        "(Megatron pattern, parallel/tp.py) on top of data-"
+                        "parallel batch sharding; must divide the device "
+                        "count and every tower's head count")
     return p
 
 
@@ -143,8 +148,21 @@ def main(args):
             )
             print(f"save text emb ({kind})")
 
+    tp = args.tensor_parallel
+    if tp > 1:
+        from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % tp:
+            raise SystemExit(
+                f"--tensor_parallel {tp} does not divide {n_dev} devices"
+            )
+        mesh = make_mesh((n_dev // tp, tp), ("data", "model"))
+    else:
+        mesh = None
     runner = ExtractionRunner(
-        model, variables, text["class"], normalized=args.normalized
+        model, variables, text["class"], normalized=args.normalized,
+        mesh=mesh, tensor_parallel=tp > 1,
     )
 
     if args.dataset == "waterbirds":

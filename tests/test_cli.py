@@ -192,3 +192,46 @@ def test_shell_scripts_are_valid_bash():
     for s in scripts:
         proc = subprocess.run(["bash", "-n", s], capture_output=True, text=True)
         assert proc.returncode == 0, f"{s}: {proc.stderr}"
+
+
+def test_extract_cli_tensor_parallel(tmp_path, monkeypatch):
+    """--tensor_parallel 2 on the 8-device CPU mesh: same outputs as dp-only,
+    through the full CLI path (dp=4 x tp=2 mesh, Megatron param sharding)."""
+    from debiasing_multi_modal_tpu.cli import extract_main
+    from debiasing_multi_modal_tpu.models.config import CLIPConfig
+
+    _write_waterbirds_tree(tmp_path)
+    tiny = CLIPConfig(
+        name="RN50", embed_dim=32, image_resolution=64,
+        vision_layers=(1, 1, 1, 1), vision_width=8, vision_patch_size=None,
+        transformer_width=128, transformer_heads=2, transformer_layers=1,
+    )
+    import debiasing_multi_modal_tpu.models as models_pkg
+
+    real_create = models_pkg.create_clip
+    monkeypatch.setitem(
+        sys.modules["debiasing_multi_modal_tpu.models"].__dict__,
+        "create_clip",
+        lambda name_or_config, dtype=None, **kw: real_create(tiny),
+    )
+
+    def run(edir, tp):
+        argv = [
+            "--data_dir", str(tmp_path), "--dataset", "waterbirds",
+            "--split", "test", "--backbone", "RN50",
+            "--embedding_dir", edir, "--save",
+            "--batch_size", "8", "--host_resolution", "64",
+            "--format", "npz",
+        ]
+        if tp > 1:
+            argv += ["--tensor_parallel", str(tp)]
+        extract_main.main(extract_main.build_parser().parse_args(argv))
+
+    run("emb_dp", 1)
+    run("emb_tp", 2)
+    a = np.load(tmp_path / "emb_dp" / "waterbirds" / "RN50" / "clip.npz")
+    b = np.load(tmp_path / "emb_tp" / "waterbirds" / "RN50" / "clip.npz")
+    np.testing.assert_allclose(
+        b["embeddings"], a["embeddings"], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(b["y_pred"], a["y_pred"])
