@@ -117,10 +117,17 @@ def run_sweep(
     verbose: bool = False,
     mesh=None,
     stack_lr_axis: bool = False,
+    skip_existing: bool = False,
 ) -> Dict[str, list]:
     """Nested lr x bs x bsr grid, each cell trained over all seeds.
 
     ``mesh`` shards each cell's seed axis across devices (vmapped path).
+
+    ``skip_existing`` makes a re-run resume a crashed/interrupted grid:
+    cells whose CSV already exists under ``result_root`` are skipped (the
+    reference loses a whole sweep's results to one crash — its logs record
+    a lost CSV reconstructed from stdout, SURVEY §5.3; here each cell
+    persists on completion and the grid is idempotent).
 
     ``stack_lr_axis`` collapses the lr loop into the vmapped program: cells
     that differ only in learning rate share every tensor shape, so all of
@@ -159,6 +166,12 @@ def run_sweep(
                 )
 
                 grid_cfgs = [_cell_cfg(cfg0, lr) for lr in lr_values]
+                paths = [
+                    os.path.join(result_root, cell_filename(c))
+                    for c in grid_cfgs
+                ]
+                if skip_existing and all(os.path.isfile(p) for p in paths):
+                    continue
                 lr_grid = [
                     (c.learning_rate, c.learning_rate_reg) for c in grid_cfgs
                 ]
@@ -175,11 +188,13 @@ def run_sweep(
             else:
                 for lr in lr_values:
                     cfg = _cell_cfg(cfg0, lr)
+                    path = os.path.join(result_root, cell_filename(cfg))
+                    if skip_existing and os.path.isfile(path):
+                        continue
                     results = run_seeds(
                         cfg, bundle, seeds, use_vmap=use_vmap,
                         verbose=verbose, mesh=mesh,
                     )
-                    path = os.path.join(result_root, cell_filename(cfg))
                     aggregate_csv(results, path)
                     all_results[path] = results
     return all_results

@@ -226,3 +226,21 @@ def test_stacked_lr_axis_contrastive(bundle, tmp_path):
     for path, results in plain.items():
         other = stacked[str(tmp_path / "stacked" / os.path.basename(path))]
         _assert_results_close(results, other, tol=1e-6)
+
+
+def test_sweep_resume_skips_completed_cells(bundle, tmp_path):
+    """skip_existing: a re-run of an interrupted grid retrains only the
+    missing cells (the reference loses the whole sweep to one crash)."""
+    cfg = TrainConfig(tl_method="adapter", epochs=2, **BASE)
+    root = str(tmp_path / "r")
+    first = run_sweep(cfg, bundle, [42], lr_list=[0.5, 2.0], result_root=root)
+    assert len(first) == 2
+    victim = sorted(first)[0]
+    os.remove(victim)
+    rerun = run_sweep(
+        cfg, bundle, [42], lr_list=[0.5, 2.0], result_root=root,
+        skip_existing=True,
+    )
+    # only the deleted cell was retrained; the survivor was skipped
+    assert set(rerun) == {victim}
+    assert os.path.isfile(victim)
