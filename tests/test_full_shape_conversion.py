@@ -48,6 +48,8 @@ pytestmark = pytest.mark.skipif(
 REAL_HPARAMS = {
     "RN50": (1024, 224, (3, 4, 6, 3), 64, None, 77, 49408, 512, 8, 12),
     "ViT-B/32": (512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
+    # pod-scale flagship (BASELINE config 5); opt-in below (~2 min extra)
+    "ViT-L/14@336px": (768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
 }
 
 
@@ -137,7 +139,21 @@ def test_zoo_wide_config_sniffing():
         ), name
 
 
-@pytest.mark.parametrize("name", ["RN50", "ViT-B/32"], ids=["rn50", "vitb32"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "RN50",
+        "ViT-B/32",
+        pytest.param(
+            "ViT-L/14@336px",
+            marks=pytest.mark.skipif(
+                os.environ.get("RUN_XL_PARITY") != "1",
+                reason="428M-param parity rehearsal is opt-in (RUN_XL_PARITY=1)",
+            ),
+        ),
+    ],
+    ids=["rn50", "vitb32", "vitl14_336"],
+)
 def test_full_shape_archive_sniff_and_parity(name, tmp_path):
     import torch
 
@@ -186,8 +202,8 @@ def test_full_shape_archive_sniff_and_parity(name, tmp_path):
         assert cfg.vision_heads == 32  # attnpool heads, model.py:127
         assert cfg.image_seq_len == 7 * 7 + 1
     else:
-        assert cfg.vision_heads == 12
-        assert cfg.image_seq_len == (224 // 32) ** 2 + 1
+        assert cfg.vision_heads == hp[3] // 64  # ViT heads = width/64
+        assert cfg.image_seq_len == (hp[1] // hp[4]) ** 2 + 1
 
     # 3. Activation parity at the real shapes, fp32.
     variables = variables_from_state_dict(sd, cfg)
