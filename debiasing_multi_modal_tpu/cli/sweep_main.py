@@ -22,7 +22,7 @@ def extend_parser(p):
     p.add_argument("--lr_multiple", type=float, default=None)
     p.add_argument("--result_root", type=str, default="results_iterative")
     p.add_argument("--no_vmap", action="store_true")
-    p.add_argument("--resume", action="store_true",
+    p.add_argument("--skip_existing", action="store_true",
                    help="skip grid cells whose result CSV already exists "
                         "(crash-safe re-run of an interrupted sweep)")
     p.add_argument("--stack_lr_axis", action="store_true",
@@ -81,7 +81,7 @@ def main(args):
         mesh=mesh,
         verbose=True,
         stack_lr_axis=args.stack_lr_axis,
-        skip_existing=args.resume,
+        skip_existing=args.skip_existing,
     )
     for path in out:
         print("wrote", path)
