@@ -1,0 +1,117 @@
+"""Run the REFERENCE torch trainer (final_main.py) on a synthetic embedding
+cache, in a clean subprocess, and print its results as one JSON line.
+
+    python tests/reference_oracle_runner.py '<json args>'
+
+Used by tests/test_reference_oracle.py as the cross-implementation oracle:
+the reference's own training code is the golden semantics, executed here
+CPU-only via three shims (this environment has no CUDA, torchvision,
+umap-learn, or easydict — none of which the trainer path actually needs):
+
+- ``torch.Tensor.cuda`` / ``torch.nn.Module.cuda`` become identity,
+- stub modules for umap / easydict / torchvision satisfy the visualizer
+  import chain (final_main.py:26 imports visualizer_supcon which pulls in
+  demo/visualizer.py's full viz deps),
+- DataLoader factories are rebound to num_workers=0 (the defaults fork 16
+  workers per loader — final_main.py:187, waterbirds_embeddings.py:90 —
+  which thrash the 1-core host).
+
+NOTE: public untrusted reference code is executed as-is for behavior
+comparison only; no code is copied from it.
+"""
+
+import json
+import os
+import sys
+import types
+
+
+def _stub(name, **attrs):
+    mod = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_shims():
+    import numpy as np
+    import torch
+
+    class _UMAP:
+        def __init__(self, **kw):
+            pass
+
+        def fit_transform(self, x):
+            return np.zeros((len(x), 2))
+
+    umap = _stub("umap")
+    umap.umap_ = _stub("umap.umap_", UMAP=_UMAP)
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    _stub("easydict", EasyDict=EasyDict)
+
+    tv = _stub("torchvision")
+    tv.transforms = _stub(
+        "torchvision.transforms",
+        Compose=lambda *a, **k: None, ToTensor=object, Normalize=object,
+        Resize=object, CenterCrop=object,
+    )
+    tv.utils = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
+    tv.models = _stub("torchvision.models")
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    # the reference's set_model_multiple_adapter (final_main.py:338-343)
+    # assigns `classifier` only inside `if torch.cuda.is_available():` and
+    # crashes with UnboundLocalError on a CPU-only machine — a real
+    # CUDA-only bug; with .cuda() identity-shimmed, reporting True is safe
+    torch.cuda.is_available = lambda: True
+    os.environ.setdefault("MPLBACKEND", "Agg")
+
+
+def run_reference(reference_root: str, argv):
+    install_shims()
+    sys.path.insert(0, os.path.join(reference_root, "demo"))
+    sys.path.insert(0, reference_root)
+    import importlib
+
+    fm = importlib.import_module("final_main")
+
+    # single-core host: no DataLoader worker processes
+    import data.waterbirds_embeddings as wemb
+    import data.waterbirds_embeddings_reg as wreg
+
+    for mod in (wemb, wreg):
+        orig = mod.load_waterbirds_embeddings
+        mod.load_waterbirds_embeddings = (
+            lambda d, e, bt, bv, num_workers=0, transform=None, _o=orig: _o(
+                d, e, bt, bv, num_workers=0
+            )
+        )
+
+    sys.argv = ["final_main.py"] + list(argv)
+    opt = fm.parse_option()
+    (tr, va, te), (zc, zs) = fm.train_all_epochs(opt)
+    return {
+        "train": {k: float(v) for k, v in tr.items()},
+        "val": {k: float(v) for k, v in va.items()},
+        "test": {k: float(v) for k, v in te.items()},
+        "zs_class": {k: float(v) for k, v in zc.items()},
+        "zs_spurious": {k: float(v) for k, v in zs.items()},
+    }
+
+
+if __name__ == "__main__":
+    spec = json.loads(sys.argv[1])
+    result = run_reference(spec.get("reference_root", "/root/reference"), spec["argv"])
+    print("ORACLE_RESULT " + json.dumps(result))
