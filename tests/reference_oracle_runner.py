@@ -111,7 +111,54 @@ def run_reference(reference_root: str, argv):
     }
 
 
+def eval_checkpoint(reference_root: str, argv, pth_path: str):
+    """Load a .pth exported by ``weights/convert.adapter_variables_to_torch``
+    into the REFERENCE's MultipleAdapter and run the reference's own
+    ``validate`` on the test split — artifact interchange in the
+    export direction (the import direction is pinned by
+    test_adapter.py::test_trained_multiple_adapter_golden)."""
+    from functools import partial
+
+    install_shims()
+    sys.path.insert(0, os.path.join(reference_root, "demo"))
+    sys.path.insert(0, reference_root)
+    import importlib
+
+    import torch
+
+    fm = importlib.import_module("final_main")
+
+    import data.waterbirds_embeddings_reg as wreg
+
+    sys.argv = ["final_main.py"] + list(argv)
+    opt = fm.parse_option()
+    trainset = wreg.WaterbirdsEmbeddings(opt.data_dir, "train", opt.image_embedding_dir, None)
+    _, _, _, test_loader = wreg.load_waterbirds_embeddings(
+        opt.data_dir, opt.image_embedding_dir, opt.batch_size,
+        opt.batch_size_reg, num_workers=0,
+    )
+    get_yp = partial(fm.get_y_p, n_places=trainset.n_places)
+
+    erm_classifier, criterion = fm.set_model(opt)
+    ma = fm.MultipleAdapter(
+        erm_classifier,
+        fm.Adapter(input_dim=1024, hidden_dim=opt.adapter_feat_dim),
+        init_near_identity=False,
+    )
+    sd = torch.load(pth_path, map_location="cpu")
+    ma.load_state_dict(sd, strict=True)
+    _, _, group_acc = fm.validate(
+        opt, test_loader, ma, criterion, get_yp, trainset.group_ratio,
+        target="class", print_label="Test",
+    )
+    return {k: float(v) for k, v in group_acc.items()}
+
+
 if __name__ == "__main__":
     spec = json.loads(sys.argv[1])
-    result = run_reference(spec.get("reference_root", "/root/reference"), spec["argv"])
+    root = spec.get("reference_root", "/root/reference")
+    if spec.get("mode") == "eval_checkpoint":
+        result = eval_checkpoint(root, spec["argv"], spec["pth"])
+    else:
+        result = run_reference(root, spec["argv"])
     print("ORACLE_RESULT " + json.dumps(result))

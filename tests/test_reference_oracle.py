@@ -188,6 +188,51 @@ def test_both_implementations_agree_on_the_headline_method(cache):
     )
 
 
+def test_reference_evaluates_our_exported_adapter_identically(cache, tmp_path):
+    """Export direction of artifact interchange: an adapter TRAINED HERE,
+    exported to the reference's .pth layout
+    (weights/convert.adapter_variables_to_torch), must evaluate to the same
+    group accuracies inside the reference's own MultipleAdapter + validate()
+    — same weights, same data, so agreement is numerical (<1e-2), not
+    statistical."""
+    import torch
+
+    from debiasing_multi_modal_tpu.train.loop import train_all_epochs
+    from debiasing_multi_modal_tpu.weights.convert import (
+        adapter_variables_to_torch,
+        load_orbax,
+    )
+
+    _, debias = _cfgs()
+    cfg = debias.replace(random_seed=42, save_results=True)
+    (_, _, te), _, _ = train_all_epochs(
+        cfg, _bundle(cache), results_dir=str(tmp_path)
+    )
+    ckpts = list(tmp_path.glob("*.ckpt"))
+    assert len(ckpts) == 1
+    variables = load_orbax(str(ckpts[0]))
+    sd = adapter_variables_to_torch(variables)
+    pth = tmp_path / "exported.pth"
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, str(pth))
+
+    spec = {
+        "reference_root": REFERENCE,
+        "mode": "eval_checkpoint",
+        "pth": str(pth),
+        "argv": _common_argv(cache) + DEBIAS_ARGS + ["--random_seed", "42"],
+    }
+    proc = subprocess.run(
+        [sys.executable, "tests/reference_oracle_runner.py", json.dumps(spec)],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("ORACLE_RESULT ")]
+    assert lines, proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
+    ref_acc = json.loads(lines[0][len("ORACLE_RESULT "):])
+    for key in ("worst_acc", "mean_acc", "weighted_mean_acc",
+                "acc_0_0", "acc_0_1", "acc_1_0", "acc_1_1"):
+        assert abs(ref_acc[key] - te[key]) < 1e-2, (key, ref_acc, te)
+
+
 def test_erm_bias_phenotype_matches(cache):
     base, _ = _cfgs()
     ref = _run_reference(cache, ERM_ARGS, 42)["test"]
