@@ -69,6 +69,18 @@ def install_shims():
     tv.utils = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
     tv.models = _stub("torchvision.models")
 
+    # the reference's CelebA datasets mutate `metadata_df[col].values` in
+    # place (celeba_embeddings*.py: the -1 -> 0 attribute remap), which is
+    # read-only under modern pandas copy-on-write; restore the pre-CoW
+    # semantics it was written against by returning writable copies.
+    # Subprocess-isolated — never affects the host test process.
+    import pandas as pd
+
+    _orig_values = pd.Series.values
+    pd.Series.values = property(
+        lambda self: np.array(_orig_values.fget(self))
+    )
+
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
     # the reference's set_model_multiple_adapter (final_main.py:338-343)
@@ -88,15 +100,24 @@ def run_reference(reference_root: str, argv):
     fm = importlib.import_module("final_main")
 
     # single-core host: no DataLoader worker processes
+    import data.celeba_embeddings as cemb
+    import data.celeba_embeddings_reg as creg
     import data.waterbirds_embeddings as wemb
     import data.waterbirds_embeddings_reg as wreg
 
-    for mod in (wemb, wreg):
-        orig = mod.load_waterbirds_embeddings
-        mod.load_waterbirds_embeddings = (
+    for mod, attr in (
+        (wemb, "load_waterbirds_embeddings"),
+        (wreg, "load_waterbirds_embeddings"),
+        (cemb, "load_celeba_embeddings"),
+        (creg, "load_celeba_embeddings"),
+    ):
+        orig = getattr(mod, attr)
+        setattr(
+            mod,
+            attr,
             lambda d, e, bt, bv, num_workers=0, transform=None, _o=orig: _o(
                 d, e, bt, bv, num_workers=0
-            )
+            ),
         )
 
     sys.argv = ["final_main.py"] + list(argv)
