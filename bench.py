@@ -76,23 +76,13 @@ def main():
         backbone = "cpu_smoke_tiny_rn"  # metric name reflects what ran
 
     if stage_packed:
-        # Initialize on host CPU and ship ONE packed bf16 buffer: staging
-        # ~500 leaves individually over the axon tunnel pays a per-buffer
-        # round trip (~2x slower), and bf16 halves the bytes.  Throughput is
-        # measured with resident weights, so this only affects wall time.
-        from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
+        # Initialize on host CPU and ship ONE packed buffer: staging ~500
+        # leaves individually over the axon tunnel pays a per-buffer round
+        # trip (~2x slower).  Throughput is measured with resident weights,
+        # so this only affects wall time.
+        from debiasing_multi_modal_tpu.parallel.packing import packed_host_init
 
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            host_vars = jax.jit(model.init, backend="cpu")(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, model.config.image_resolution,
-                           model.config.image_resolution, 3), model.config.dtype),
-                jnp.zeros((1, model.config.context_length), jnp.int32),
-            )
-        buf, spec = pack_tree(jax.device_get(host_vars))
-        buf_dev = jnp.asarray(buf)
-        variables = jax.jit(lambda b: unpack_tree(b, spec))(buf_dev)
+        variables = packed_host_init(model)
     else:
         variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
     text = np.random.default_rng(0).standard_normal(
@@ -161,12 +151,9 @@ def main():
     # is upload-bound here (scripts/profile_e2e_stages.py, DESIGN §9), and
     # tunnel bandwidth varies >2x between runs — recording it makes e2e
     # numbers comparable across artifacts
-    up = jax.jit(lambda x: x[0, 0, 0, 0].astype(jnp.float32))
-    float(up(jnp.asarray(images)))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(up(jnp.asarray(images)))
-    upload_mb_s = images.nbytes / 2**20 / ((time.perf_counter() - t0) / 3)
+    from debiasing_multi_modal_tpu.utils.timing import measure_upload_ms
+
+    upload_mb_s = images.nbytes / 2**20 / (measure_upload_ms(images) / 1e3)
 
     t0 = time.perf_counter()
     table = runner.run(stream(), prefetch_depth=2)

@@ -68,6 +68,10 @@ def main(args):
 
         mesh = make_mesh(axis_names=("data",))
 
+    if args.stack_lr_axis and args.no_vmap:
+        raise SystemExit(
+            "--stack_lr_axis requires the vmapped path; drop --no_vmap"
+        )
     out = run_sweep(
         cfg,
         bundle,

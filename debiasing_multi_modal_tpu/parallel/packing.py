@@ -50,3 +50,23 @@ def unpack_tree(buffer: jax.Array, spec) -> Any:
         chunk = jax.lax.dynamic_slice(buffer, (off,), (size,))
         leaves.append(chunk.reshape(shape).astype(dtype))
     return jax.tree.unflatten(treedef, leaves)
+
+
+def packed_host_init(model, batch: int = 1, seed: int = 0):
+    """Initialize CLIP variables on the host CPU and ship ONE packed buffer
+    to the default device (per-leaf staging pays a per-buffer tunnel round
+    trip — docs/DESIGN.md §7).  Shared by bench.py and the profiling
+    scripts."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        host_vars = jax.jit(model.init, backend="cpu")(
+            jax.random.PRNGKey(seed),
+            jnp.zeros(
+                (batch, model.config.image_resolution,
+                 model.config.image_resolution, 3),
+                model.config.dtype,
+            ),
+            jnp.zeros((batch, model.config.context_length), jnp.int32),
+        )
+    buf, spec = pack_tree(jax.device_get(host_vars))
+    return jax.jit(lambda b: unpack_tree(b, spec))(jnp.asarray(buf))

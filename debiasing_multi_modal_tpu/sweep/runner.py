@@ -166,12 +166,18 @@ def run_sweep(
                 )
 
                 grid_cfgs = [_cell_cfg(cfg0, lr) for lr in lr_values]
-                paths = [
-                    os.path.join(result_root, cell_filename(c))
-                    for c in grid_cfgs
-                ]
-                if skip_existing and all(os.path.isfile(p) for p in paths):
-                    continue
+                if skip_existing:
+                    # per-cell resume semantics: stack only the missing lr
+                    # cells (shapes still match, the stack just shrinks)
+                    grid_cfgs = [
+                        c
+                        for c in grid_cfgs
+                        if not os.path.isfile(
+                            os.path.join(result_root, cell_filename(c))
+                        )
+                    ]
+                    if not grid_cfgs:
+                        continue
                 lr_grid = [
                     (c.learning_rate, c.learning_rate_reg) for c in grid_cfgs
                 ]

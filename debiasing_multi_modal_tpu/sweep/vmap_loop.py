@@ -142,8 +142,13 @@ def train_seeds_vmapped(
 
         n_data = mesh.shape["data"]
         if S % n_data:
+            what = (
+                f"rows (lr cells x seeds) = {S}"
+                if row_cfgs is not None
+                else f"len(seeds)={S}"
+            )
             raise ValueError(
-                f"len(seeds)={S} must divide over the mesh data axis ({n_data})"
+                f"{what} must divide over the mesh data axis ({n_data})"
             )
         seed_sharding = NamedSharding(mesh, PartitionSpec("data"))
         replicated = NamedSharding(mesh, PartitionSpec())

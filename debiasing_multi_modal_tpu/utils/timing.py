@@ -12,6 +12,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def chain_time(fn, *args, iters: int = 8) -> float:
@@ -34,3 +35,34 @@ def chain_time(fn, *args, iters: int = 8) -> float:
         acc = prog(acc, *args)
     float(acc)
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def measure_upload_ms(images, iters: int = 3) -> float:
+    """Tunnel H2D gauge: ship ``images`` (host numpy) to the device ``iters``
+    times, forcing each transfer with a dependent scalar fetch.  Shared by
+    bench.py and scripts/profile_e2e_stages.py so the gauge can never
+    diverge between them."""
+    probe = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.float32))
+    float(probe(jnp.asarray(images)))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(probe(jnp.asarray(images)))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def measure_download_ms(make_outputs, iters: int = 3) -> float:
+    """D2H gauge.  ``make_outputs()`` must return FRESH device arrays each
+    call: jax.Array caches its fetched host copy (``_npy_value``), so timing
+    repeated ``np.asarray`` of one array measures a cache hit, not D2H —
+    an ~iters-fold underreport (round-3 review finding)."""
+    outs = make_outputs()
+    jax.block_until_ready(outs)
+    [np.asarray(o) for o in outs]  # warm any lazy layout work
+    total = 0.0
+    for _ in range(iters):
+        outs = make_outputs()
+        jax.block_until_ready(outs)  # exclude compute; D2H starts cold
+        t0 = time.perf_counter()
+        [np.asarray(o) for o in outs]
+        total += time.perf_counter() - t0
+    return total / iters * 1e3

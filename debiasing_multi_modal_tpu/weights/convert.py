@@ -284,6 +284,30 @@ def adapter_variables_to_torch(variables: Mapping[str, Any]) -> Dict[str, np.nda
     return out
 
 
+def save_jit_state_dict_archive(sd: Mapping[str, Any], path: str) -> None:
+    """Wrap a flat state dict in a TorchScript archive whose ``state_dict()``
+    reproduces the keys byte-for-byte — the distribution format of the
+    OpenAI checkpoints (``torch.jit.load(...).state_dict()``, reference
+    clip/clip.py:129,136).  The inverse of :func:`load_openai_checkpoint`;
+    used by the conversion rehearsal tests and the synthetic-fixture
+    generator so both emulate the same archive shape."""
+    import torch
+
+    root = torch.nn.Module()
+    for key, val in sd.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            child = getattr(node, p, None)
+            if child is None:
+                child = torch.nn.Module()
+                node.add_module(p, child)
+            node = child
+        node.register_buffer(parts[-1], torch.as_tensor(val))
+    root.forward = lambda: torch.zeros(1)
+    torch.jit.trace(root, ()).save(path)
+
+
 def save_orbax(variables, path: str):
     """Persist converted variables with Orbax (the framework's native format)."""
     import orbax.checkpoint as ocp

@@ -26,8 +26,11 @@ the science.  See tests/test_reproduce_all.py.
 import argparse
 import importlib.util
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_MODEL = "/root/reference/clip/model.py"
 
@@ -102,19 +105,11 @@ def make_checkpoint(path: str, width: int = 8) -> None:
     model = mod.CLIP(width * 32, 224, (1, 1, 1, 1), width, None, 77, 49408, 64, 1, 1)
     sd = model.float().state_dict()
 
-    root = torch.nn.Module()
-    for key, val in sd.items():
-        parts = key.split(".")
-        node = root
-        for p in parts[:-1]:
-            child = getattr(node, p, None)
-            if child is None:
-                child = torch.nn.Module()
-                node.add_module(p, child)
-            node = child
-        node.register_buffer(parts[-1], val)
-    root.forward = lambda: torch.zeros(1)
-    torch.jit.trace(root, ()).save(path)
+    from debiasing_multi_modal_tpu.weights.convert import (
+        save_jit_state_dict_archive,
+    )
+
+    save_jit_state_dict_archive(sd, path)
 
 
 def main():

@@ -35,21 +35,16 @@ def stage_budget(backbone: str, batch: int, n_batches: int, res_in: int = 256):
     from debiasing_multi_modal_tpu.extract.runner import ExtractionRunner
     from debiasing_multi_modal_tpu.models import create_clip
     from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
-    from debiasing_multi_modal_tpu.parallel.packing import pack_tree, unpack_tree
-    from debiasing_multi_modal_tpu.utils.timing import chain_time
+    from debiasing_multi_modal_tpu.parallel.packing import packed_host_init
+    from debiasing_multi_modal_tpu.utils.timing import (
+        chain_time,
+        measure_download_ms,
+        measure_upload_ms,
+    )
 
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = create_clip(backbone, dtype=dtype)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        host_vars = jax.jit(model.init, backend="cpu")(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, model.config.image_resolution,
-                       model.config.image_resolution, 3), model.config.dtype),
-            jnp.zeros((1, model.config.context_length), jnp.int32),
-        )
-    buf, spec = pack_tree(jax.device_get(host_vars))
-    variables = jax.jit(lambda b: unpack_tree(b, spec))(jnp.asarray(buf))
+    variables = packed_host_init(model)
 
     rng = np.random.default_rng(0)
     text = rng.standard_normal((2, model.config.embed_dim)).astype(np.float32)
@@ -69,13 +64,8 @@ def stage_budget(backbone: str, batch: int, n_batches: int, res_in: int = 256):
         _ = images.shape, m
     host_ms = (time.perf_counter() - t0) / n_batches * 1e3
 
-    # -- upload: force each H2D with a tiny dependent fetch
-    up = jax.jit(lambda x: x[0, 0, 0, 0].astype(jnp.float32))
-    float(up(jnp.asarray(images)))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        float(up(jnp.asarray(images)))
-    upload_ms = (time.perf_counter() - t0) / n_batches * 1e3
+    # -- upload: force each H2D with a tiny dependent fetch (shared gauge)
+    upload_ms = measure_upload_ms(images, iters=n_batches)
 
     # -- kernel: device-resident inputs, accumulator-chained
     images_dev = jnp.asarray(images)
@@ -84,13 +74,13 @@ def stage_budget(backbone: str, batch: int, n_batches: int, res_in: int = 256):
         runner.variables, runner.zs_weights, images_dev, iters=8,
     )
 
-    # -- download: embeddings + preds of one batch
-    emb, pred = runner._step(runner.variables, runner.zs_weights, images_dev)
-    jax.block_until_ready(emb)
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        np.asarray(emb), np.asarray(pred)
-    download_ms = (time.perf_counter() - t0) / n_batches * 1e3
+    # -- download: embeddings + preds, FRESH outputs per iteration (a
+    # jax.Array caches its fetched host copy, so re-fetching one array
+    # times a cache hit — the round-3 review caught an ~8x underreport)
+    download_ms = measure_download_ms(
+        lambda: runner._step(runner.variables, runner.zs_weights, images_dev),
+        iters=3,
+    )
 
     # -- e2e: the real pipeline
     runner.encode_batch(images)  # one-time full-shape compile outside timing

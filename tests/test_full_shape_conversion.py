@@ -60,25 +60,9 @@ def _load_reference_model_module():
     return mod
 
 
-def _save_jit_archive(sd, path):
-    """Wrap a flat state dict in a TorchScript archive whose ``state_dict()``
-    reproduces the keys byte-for-byte — the distribution format of the OpenAI
-    checkpoints (``torch.jit.load(...).state_dict()``, clip/clip.py:129,136)."""
-    import torch
-
-    root = torch.nn.Module()
-    for key, val in sd.items():
-        parts = key.split(".")
-        node = root
-        for p in parts[:-1]:
-            child = getattr(node, p, None)
-            if child is None:
-                child = torch.nn.Module()
-                node.add_module(p, child)
-            node = child
-        node.register_buffer(parts[-1], torch.as_tensor(val))
-    root.forward = lambda: torch.zeros(1)
-    torch.jit.trace(root, ()).save(path)
+from debiasing_multi_modal_tpu.weights.convert import (
+    save_jit_state_dict_archive as _save_jit_archive,
+)
 
 
 def _token_batch(n, seq=77, vocab=49408):

@@ -244,3 +244,24 @@ def test_sweep_resume_skips_completed_cells(bundle, tmp_path):
     # only the deleted cell was retrained; the survivor was skipped
     assert set(rerun) == {victim}
     assert os.path.isfile(victim)
+
+
+def test_sweep_resume_stacks_only_missing_lr_cells(bundle, tmp_path):
+    """Stacked mode + skip_existing keeps per-cell resume semantics: only
+    the missing lr cells are (re)stacked and trained."""
+    cfg = TrainConfig(tl_method="adapter", epochs=2, **BASE)
+    root = str(tmp_path / "r")
+    first = run_sweep(
+        cfg, bundle, [42], lr_list=[0.5, 2.0], result_root=root,
+        stack_lr_axis=True,
+    )
+    assert len(first) == 2
+    victim = sorted(first)[1]
+    os.remove(victim)
+    rerun = run_sweep(
+        cfg, bundle, [42], lr_list=[0.5, 2.0], result_root=root,
+        stack_lr_axis=True, skip_existing=True,
+    )
+    assert set(rerun) == {victim}
+    # retrained cell equals the original full-stack run's cell
+    _assert_results_close(first[victim], rerun[victim], tol=1e-6)
