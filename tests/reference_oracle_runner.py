@@ -69,6 +69,22 @@ def install_shims():
     tv.utils = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
     tv.models = _stub("torchvision.models")
 
+    # the reference's resampling machinery builds ragged arrays with bare
+    # np.array(list_of_unequal_lists) (visualizer_supcon.py:1162), which
+    # numpy >= 1.24 rejects; restore the implicit-object-array semantics it
+    # was written against.  Subprocess-isolated.
+    _orig_array = np.array
+
+    def _compat_array(*a, **k):
+        try:
+            return _orig_array(*a, **k)
+        except ValueError as e:
+            if "inhomogeneous" in str(e) and "dtype" not in k:
+                return _orig_array(*a, dtype=object, **k)
+            raise
+
+    np.array = _compat_array
+
     # the reference's CelebA datasets mutate `metadata_df[col].values` in
     # place (celeba_embeddings*.py: the -1 -> 0 attribute remap), which is
     # read-only under modern pandas copy-on-write; restore the pre-CoW

@@ -322,6 +322,33 @@ def test_celeba_headline_method_agrees(celeba_cache):
     assert abs(np.mean(ref_w) - np.mean(our_w)) < 0.2, (ref_w, our_w)
 
 
+def test_resample_ce_path_agrees(cache):
+    """The resampled-CE method (reference: WeightedRandomSampler over
+    GetResampledWeightsCE slice weights, visualizer_supcon.py:1642-1703,
+    wired at final_main.py:868-884) runs cross-implementation on the same
+    cache.  On this fixture the method only mildly lifts worst-group
+    (calibration: ref 0.290/0.252, ours 0.145/0.214 — overlapping, both in
+    the ERM-to-debiased gap), so the band is statistical-phenotype level."""
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(
+        dataset="waterbirds", tl_method="adapter", epochs=6, batch_size=128,
+        learning_rate=0.5, input_dim=1024, lr_decay_epochs=(100,),
+        resample_ce=True,
+    )
+    args = ERM_ARGS + ["--resample_ce"]
+    ref_w, our_w, ref_m, our_m = [], [], [], []
+    for seed in (42, 32):
+        r = _run_reference(cache, args, seed)["test"]
+        t = _run_ours(cache, cfg, seed)
+        ref_w.append(r["worst_acc"])
+        our_w.append(t["worst_acc"])
+        ref_m.append(r["weighted_mean_acc"])
+        our_m.append(t["weighted_mean_acc"])
+    assert abs(np.mean(ref_w) - np.mean(our_w)) < 0.2, (ref_w, our_w)
+    assert np.mean(ref_m) > 0.8 and np.mean(our_m) > 0.8, (ref_m, our_m)
+
+
 def test_erm_bias_phenotype_matches(cache):
     base, _ = _cfgs()
     ref = _run_reference(cache, ERM_ARGS, 42)["test"]
