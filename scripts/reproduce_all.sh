@@ -87,3 +87,9 @@ python scripts/check_vs_baseline.py "$RESULTS" ${CHECK_EXTRA[@]+"${CHECK_EXTRA[@
 if [ "${REPRO_RUN_NOTEBOOKS:-0}" = "1" ]; then
   RUN_NB_TESTS=1 python -m pytest tests/test_notebooks.py -q
 fi
+
+# ---- optional: cross-implementation oracle (the reference's own trainer on
+# the same synthetic caches; ~8 min CPU) — tests/test_reference_oracle.py
+if [ "${REPRO_RUN_ORACLE:-0}" = "1" ]; then
+  RUN_ORACLE_TEST=1 python -m pytest tests/test_reference_oracle.py -q
+fi
