@@ -70,6 +70,9 @@ def build_parser():
     p.add_argument("--num_positive", type=int, default=64)
     p.add_argument("--num_negative", type=int, default=64)
     p.add_argument("--cl_temperature", type=float, default=0.1)
+    # the reference's flag is clobbered to 0.1 by parse_option
+    # (visualizer_supcon.py:214,255); here it is live
+    p.add_argument("--contrastive_weight", type=float, default=0.1)
     p.add_argument("--batch_factor", type=int, default=4)
     p.add_argument("--watch_batch_results", action="store_true")
     p.add_argument("--save_results", action="store_true")
@@ -119,6 +122,7 @@ def config_from_args(args):
         num_positive=args.num_positive,
         num_negative=args.num_negative,
         cl_temperature=args.cl_temperature,
+        contrastive_weight=args.contrastive_weight,
         batch_factor=args.batch_factor,
         random_seed=args.random_seed,
         save_results=args.save_results,

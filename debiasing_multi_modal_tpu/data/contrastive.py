@@ -147,10 +147,14 @@ def construct_contrastive_rows(
             "zero-shot-correct positives (degenerate predictions)"
         )
     if not any(per_slice):
-        raise ValueError(
-            "no contrastive rows could be built: zero-shot predictions have "
-            "no correct samples in any anchor class"
+        n_anchors = sum(len(a["ix"]) for a in points.slice_anchors)
+        detail = (
+            "the zero-shot predictions are all correct, so there are no "
+            "anchors (contrastive_adapter trains on ZS mistakes)"
+            if n_anchors == 0
+            else "no anchor class has zero-shot-correct positive samples"
         )
+        raise ValueError(f"no contrastive rows could be built: {detail}")
 
     if balance_by_zs_pred and len(per_slice) == 2 and all(per_slice):
         # down-sample the slice with more failures by interleaved zip

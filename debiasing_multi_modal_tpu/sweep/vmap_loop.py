@@ -199,6 +199,12 @@ def train_seeds_vmapped(
     ma_mask = None
 
     train_labels = bundle.train.labels(cfg.train_target)
+    if int(train_labels.max()) >= bundle.text_class.shape[1]:
+        raise ValueError(
+            f"train_target={cfg.train_target!r} yields labels up to "
+            f"{int(train_labels.max())} but the class text matrix has only "
+            f"{bundle.text_class.shape[1]} columns (see train/loop.py)"
+        )
     val_labels = val_split.labels(cfg.train_target)
     test_labels_cls = bundle.test.labels("class")
     reg_labels_target = reg_split.labels(cfg.train_target) if reg_split is not None else None
@@ -388,6 +394,9 @@ def train_seeds_vmapped(
             rowsS = []
             for i in range(S):
                 r = contrastive_rows[i][rngs[i].permutation(len(contrastive_rows[i]))]
+                if len(r) < cfg.batch_factor:
+                    # degenerate fixtures — tile cyclically (see loop.py)
+                    r = np.resize(r, (cfg.batch_factor, r.shape[1]))
                 nb = max(len(r) // cfg.batch_factor, 1)
                 rowsS.append(r[: nb * cfg.batch_factor].reshape(nb, cfg.batch_factor, -1))
             rowsS = place(jnp.asarray(np.stack(rowsS)))
@@ -405,6 +414,7 @@ def train_seeds_vmapped(
                 num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
                 num_negative=cfg.num_negative,
                 temperature=cfg.cl_temperature,
+                contrastive_weight=cfg.contrastive_weight,
                 momentum=cfg.momentum, weight_decay=cfg.weight_decay,
             )
             state = TrainState(

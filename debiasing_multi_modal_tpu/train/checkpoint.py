@@ -64,7 +64,12 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         d for d in os.listdir(directory)
         if d.startswith("ep") and os.path.isdir(os.path.join(directory, d))
     )
-    return os.path.join(directory, steps[-1]) if steps else None
+    # a crash between the Orbax save and the host_meta.json write leaves a
+    # half-written step dir; fall back to the newest COMPLETE checkpoint
+    for step in reversed(steps):
+        if os.path.isfile(os.path.join(directory, step, "host_meta.json")):
+            return os.path.join(directory, step)
+    return None
 
 
 def load_checkpoint(step_dir: str):

@@ -65,6 +65,11 @@ class TrainConfig:
     num_negative: int = 64
     cl_temperature: float = 0.1
     batch_factor: int = 4  # contrastive rows per optimizer step
+    # SupCon loss scale (visualizer_supcon.py:477).  The reference's
+    # --contrastive_weight flag is DEAD — parse_option clobbers it with 0.1
+    # (visualizer_supcon.py:255) — so 0.1 is the effective reference value;
+    # here the flag is live (deliberate deviation, PARITY.md)
+    contrastive_weight: float = 0.1
 
     # misc
     random_seed: int = 42

@@ -9,8 +9,12 @@ over positives; gradients accumulated over ``batch_factor`` rows per step.
 
 TPU-native: the reference's per-anchor Python loop with per-anchor
 ``backward`` becomes one jitted scan where each step consumes
-``rows_per_step`` whole rows — the gradient of the mean row loss equals the
-reference's accumulated gradient.  The adapter's BatchNorm sees the step's
+``rows_per_step`` whole rows — the gradient of ``contrastive_weight x``
+the mean row loss equals the reference's accumulated gradient
+(loss = contrastive_weight * supcon / batch_factor per anchor,
+visualizer_supcon.py:477-479; the reference's --contrastive_weight flag is
+clobbered to 0.1 by parse_option at :255, so 0.1 is the effective reference
+value and the default here).  The adapter's BatchNorm sees the step's
 flattened row batch in train mode (the reference normalizes over each
 anchor/pos and anchor/neg sub-batch; documented deviation — statistics differ
 only in grouping, not in scale).
@@ -39,6 +43,7 @@ def _train_contrastive_epoch_impl(
     num_positive: int,
     num_negative: int,
     temperature: float = 0.1,
+    contrastive_weight: float = 0.1,
     momentum: float = 0.9,
     weight_decay: float = 5e-5,
 ) -> Tuple[TrainState, jax.Array]:
@@ -62,7 +67,13 @@ def _train_contrastive_epoch_impl(
             anchor = adapted[:, 0]
             pos = adapted[:, a : a + p]
             neg = adapted[:, a + p :]
-            return supcon_loss(anchor, pos, neg, temperature), mutated
+            # reference scaling: loss = contrastive_weight * supcon /
+            # batch_factor before each backward (visualizer_supcon.py
+            # :477-479); the mean over rows supplies the 1/batch_factor
+            return (
+                contrastive_weight * supcon_loss(anchor, pos, neg, temperature),
+                mutated,
+            )
 
         (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
         new_params, new_trace = _sgd(
@@ -76,7 +87,7 @@ def _train_contrastive_epoch_impl(
 
 _CL_STATICS = (
     "module", "num_anchor", "num_positive", "num_negative",
-    "temperature", "momentum", "weight_decay",
+    "temperature", "contrastive_weight", "momentum", "weight_decay",
 )
 
 train_contrastive_epoch = functools.partial(
@@ -97,6 +108,7 @@ def train_contrastive_epoch_vmapped(
     num_positive: int,
     num_negative: int,
     temperature: float = 0.1,
+    contrastive_weight: float = 0.1,
     momentum: float = 0.9,
     weight_decay: float = 5e-5,
 ) -> Tuple[TrainState, jax.Array]:
@@ -108,6 +120,7 @@ def train_contrastive_epoch_vmapped(
             module, st, embeddings, rows_i, lrs_i, train_mask,
             num_anchor=num_anchor, num_positive=num_positive,
             num_negative=num_negative, temperature=temperature,
+            contrastive_weight=contrastive_weight,
             momentum=momentum, weight_decay=weight_decay,
         )
 

@@ -23,10 +23,10 @@ from debiasing_multi_modal_tpu.train.steps import _sgd
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_classes", "momentum", "weight_decay")
+    jax.jit, static_argnames=("momentum", "weight_decay")
 )
 def _linear_epoch(params, trace, feats, labels, idx, mask, lrs, *,
-                  num_classes, momentum, weight_decay):
+                  momentum, weight_decay):
     def body(carry, xs):
         p, t, correct, total = carry
         b_idx, b_mask, lr = xs
@@ -79,7 +79,7 @@ def linear_probe(
         params, trace, acc, _ = _linear_epoch(
             params, trace, feats, labs,
             jnp.asarray(plan.indices), jnp.asarray(plan.mask), lrs,
-            num_classes=num_classes, momentum=momentum, weight_decay=weight_decay,
+            momentum=momentum, weight_decay=weight_decay,
         )
     return jax.device_get(params), float(acc)
 

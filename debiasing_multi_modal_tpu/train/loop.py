@@ -336,6 +336,14 @@ def train_all_epochs(
     ma_mask = None
 
     train_labels = bundle.train.labels(cfg.train_target)
+    if int(train_labels.max()) >= bundle.text_class.shape[1]:
+        raise ValueError(
+            f"train_target={cfg.train_target!r} yields labels up to "
+            f"{int(train_labels.max())} but the class text matrix has only "
+            f"{bundle.text_class.shape[1]} columns — under jit the gather "
+            "would silently clamp instead of erroring (the torch reference "
+            "crashes in CrossEntropyLoss); use 'class' or 'spurious'"
+        )
     val_labels = val_split.labels(cfg.train_target)
     test_labels_cls = bundle.test.labels("class")
     reg_labels_target = reg_split.labels(cfg.train_target) if reg_split is not None else None
@@ -346,7 +354,25 @@ def train_all_epochs(
 
     best = {"acc": 0.0, "epoch": 0, "params": None, "stats": None, "multiple": False}
     history = {"train": [], "val": [], "test": []}
-    contrastive_rows = None  # built lazily for tl_method="contrastive_adapter"
+
+    # Contrastive rows are built BEFORE any checkpoint restore: in a fresh
+    # run they are the first rng consumption (nothing precedes them for this
+    # method), and a resumed run must reproduce the ORIGINAL rows — the
+    # restored mid-run rng state already accounts for these draws, so
+    # rebuilding from it would silently train on different rows (round-3
+    # review finding).
+    contrastive_rows = None
+    if cfg.tl_method == "contrastive_adapter":
+        from debiasing_multi_modal_tpu.data.contrastive import (
+            construct_contrastive_rows,
+            prepare_contrastive_points,
+        )
+
+        points = prepare_contrastive_points(bundle.train.y, bundle.train.y_pred)
+        contrastive_rows = construct_contrastive_rows(
+            points, cfg.num_anchor, cfg.num_positive, cfg.num_negative, rng
+        )
+        log(f"contrastive rows: {contrastive_rows.shape}")
 
     feat_epochs = cfg.epochs_feature_learning or cfg.epochs
     start_epoch = 1
@@ -479,7 +505,9 @@ def train_all_epochs(
                     ma_mask = freeze_subtrees(ma_params, ("old",))
                 else:
                     # fresh optimizer on the same params (momentum reset)
-                    state = init_train_state(state.params, state.batch_stats)
+                    from debiasing_multi_modal_tpu.train.steps import reset_optimizer
+
+                    state = reset_optimizer(state)
 
             use_group = cfg.use_group_prompt(epoch)
             labels2 = reg_labels_group if use_group else reg_labels_target
@@ -507,21 +535,12 @@ def train_all_epochs(
             )
             from debiasing_multi_modal_tpu.train.steps import TrainState as TS
 
-            if contrastive_rows is None:
-                from debiasing_multi_modal_tpu.data.contrastive import (
-                    construct_contrastive_rows,
-                    prepare_contrastive_points,
-                )
-
-                points = prepare_contrastive_points(
-                    bundle.train.y, bundle.train.y_pred
-                )
-                contrastive_rows = construct_contrastive_rows(
-                    points, cfg.num_anchor, cfg.num_positive, cfg.num_negative,
-                    rng,
-                )
-                log(f"contrastive rows: {contrastive_rows.shape}")
             rows = contrastive_rows[rng.permutation(len(contrastive_rows))]
+            if len(rows) < cfg.batch_factor:
+                # degenerate fixtures: fewer rows than one optimizer step
+                # consumes — tile cyclically (the reference's DataLoader
+                # would emit one short batch; fixed shapes require padding)
+                rows = np.resize(rows, (cfg.batch_factor, rows.shape[1]))
             nb = max(len(rows) // cfg.batch_factor, 1)
             rows = rows[: nb * cfg.batch_factor].reshape(
                 nb, cfg.batch_factor, -1
@@ -538,6 +557,7 @@ def train_all_epochs(
                 jnp.asarray(lrs), ones_mask(sub_state.params),
                 num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
                 num_negative=cfg.num_negative, temperature=cfg.cl_temperature,
+                contrastive_weight=cfg.contrastive_weight,
                 momentum=cfg.momentum, weight_decay=cfg.weight_decay,
             )
             state = TS(

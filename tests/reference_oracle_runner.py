@@ -191,11 +191,48 @@ def eval_checkpoint(reference_root: str, argv, pth_path: str):
     return {k: float(v) for k, v in group_acc.items()}
 
 
+def supcon_loss_oracle(reference_root: str, spec):
+    """Evaluate the REFERENCE ``SupervisedContrastiveLoss``
+    (demo/visualizer_supcon.py:1522-1587) on a given [anchor; positives;
+    negatives] embedding batch and return the scalar loss.  The model shim's
+    ``forward_ca`` is identity: the reference's normalization there is
+    redundant under its ``nn.CosineSimilarity``, so identity isolates the
+    loss formula itself (adapter-forward parity is pinned separately by
+    test_adapter.py)."""
+    install_shims()
+    sys.path.insert(0, os.path.join(reference_root, "demo"))
+    sys.path.insert(0, reference_root)
+    import importlib
+
+    import torch
+
+    vs = importlib.import_module("visualizer_supcon")
+    from easydict import EasyDict  # the shim stub
+
+    args = EasyDict(
+        cl_temperature=spec["temperature"],
+        num_positive=spec["num_positive"],
+        num_negative=spec["num_negative"],
+        tl_method="contrastive_adapter",
+    )
+    crit = vs.SupervisedContrastiveLoss(args)
+
+    class _IdentityModel:
+        def forward_ca(self, x):
+            return x
+
+    batch = torch.tensor(spec["batch"], dtype=torch.float32)
+    loss, _, _, _ = crit(_IdentityModel(), batch)
+    return {"loss": float(loss)}
+
+
 if __name__ == "__main__":
     spec = json.loads(sys.argv[1])
     root = spec.get("reference_root", "/root/reference")
     if spec.get("mode") == "eval_checkpoint":
         result = eval_checkpoint(root, spec["argv"], spec["pth"])
+    elif spec.get("mode") == "supcon_loss":
+        result = supcon_loss_oracle(root, spec)
     else:
         result = run_reference(root, spec["argv"])
     print("ORACLE_RESULT " + json.dumps(result))

@@ -42,11 +42,20 @@ def bundle():
             dict(epochs_feature_learning=3, add_adapter=True, balance_val=True),
             5,  # resume INSIDE phase 2 (switch at epoch 4)
         ),
+        (
+            # contrastive rows are drawn from the rng BEFORE restore; a
+            # resumed run must train on the ORIGINAL rows (loop.py builds
+            # them ahead of the checkpoint restore for exactly this reason)
+            "contrastive_adapter",
+            dict(learning_rate=0.02, num_positive=16, num_negative=16,
+                 batch_factor=8),
+            3,
+        ),
     ],
-    ids=["adapter", "seq_alter_ma_phase2"],
+    ids=["adapter", "seq_alter_ma_phase2", "contrastive_rows"],
 )
 def test_resume_reproduces_uninterrupted_run(tmp_path, bundle, method, extra, interrupt):
-    cfg_full = TrainConfig(tl_method=method, epochs=7, **extra, **BASE)
+    cfg_full = TrainConfig(tl_method=method, epochs=7, **{**BASE, **extra})
     full = train_all_epochs(cfg_full, bundle, verbose=False)
 
     ckdir = str(tmp_path / "ck")
@@ -71,6 +80,36 @@ def test_resume_reproduces_uninterrupted_run(tmp_path, bundle, method, extra, in
         assert abs(f_te[k] - r_te[k]) < 1e-6
     for k in f_zc:
         assert abs(f_zc[k] - r_zc[k]) < 1e-6
+
+
+def test_latest_checkpoint_skips_half_written_dir(tmp_path):
+    """A crash between the Orbax save and the host_meta.json write leaves a
+    step dir without host_meta.json; latest_checkpoint must fall back to the
+    newest COMPLETE step (and return None if none is complete)."""
+    import json
+    import os
+
+    from debiasing_multi_modal_tpu.train.checkpoint import latest_checkpoint
+
+    ckdir = tmp_path / "ck"
+    (ckdir / "ep00002").mkdir(parents=True)  # half-written: no host_meta.json
+    assert latest_checkpoint(str(ckdir)) is None
+
+    (ckdir / "ep00001").mkdir()
+    (ckdir / "ep00001" / "host_meta.json").write_text(json.dumps({}))
+    got = latest_checkpoint(str(ckdir))
+    assert got is not None and got.endswith("ep00001")
+
+
+def test_bad_train_target_raises_before_silent_clamp(bundle):
+    """train_target='group' yields labels 0..3 against a 2-column class text
+    matrix; under jit the gather would clamp silently (the torch reference
+    crashes in CrossEntropyLoss) — the loop must raise up front."""
+    from debiasing_multi_modal_tpu.train.loop import train_all_epochs as tae
+
+    cfg = TrainConfig(tl_method="adapter", epochs=1, train_target="group", **BASE)
+    with pytest.raises(ValueError, match="train_target"):
+        tae(cfg, bundle, verbose=False)
 
 
 def test_latest_checkpoint_pruning(tmp_path, bundle):

@@ -86,6 +86,95 @@ def test_supcon_loss_matches_explicit_formula(rng):
     np.testing.assert_allclose(got, expected, rtol=1e-5)
 
 
+def test_all_correct_predictions_yield_clear_error():
+    """100%-correct zero-shot predictions mean no anchors exist; the error
+    must say so (found driving the CLI on a too-easy synthetic fixture —
+    the old message claimed 'no correct samples', the opposite problem)."""
+    labels = np.tile(np.array([0, 1]), 10)
+    pts = prepare_contrastive_points(labels, labels.copy())
+    with pytest.raises(ValueError, match="all correct"):
+        construct_contrastive_rows(pts, 1, 2, 2, np.random.default_rng(0))
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isfile("/root/reference/demo/visualizer_supcon.py"),
+    reason="needs the reference tree",
+)
+def test_supcon_loss_matches_reference_implementation(rng):
+    """Cross-implementation oracle for the loss itself: the reference's OWN
+    ``SupervisedContrastiveLoss`` (demo/visualizer_supcon.py:1522-1587),
+    executed in a subprocess via tests/reference_oracle_runner.py, and our
+    ``supcon_loss`` produce the same scalar on an identical
+    [anchor; positives; negatives] batch."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    P, N, D = 6, 5, 16
+    tau = 0.07
+    batch = rng.standard_normal((1 + P + N, D)).astype(np.float32)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = {
+        "mode": "supcon_loss",
+        "temperature": tau,
+        "num_positive": P,
+        "num_negative": N,
+        "batch": batch.tolist(),
+    }
+    proc = subprocess.run(
+        [sys.executable, "tests/reference_oracle_runner.py", json.dumps(spec)],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    lines = [
+        l for l in proc.stdout.splitlines() if l.startswith("ORACLE_RESULT ")
+    ]
+    assert lines, proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
+    ref_loss = json.loads(lines[0][len("ORACLE_RESULT "):])["loss"]
+
+    ours = float(
+        supcon_loss(
+            jnp.asarray(batch[0:1]),
+            jnp.asarray(batch[1 : 1 + P][None]),
+            jnp.asarray(batch[1 + P :][None]),
+            tau,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_loss, rtol=1e-5)
+
+
+def test_contrastive_weight_scales_gradient(rng):
+    """``contrastive_weight`` scales the SupCon gradient exactly (reference
+    scales the loss by --contrastive_weight before backward,
+    visualizer_supcon.py:477-479): one SGD step with momentum=0, wd=0 and
+    weight 2w moves params twice as far as weight w (rtol covers XLA
+    compiling a different fusion per static weight constant)."""
+    emb = rng.standard_normal((32, 16)).astype(np.float32)
+    rows = rng.integers(0, 32, (1, 2, 1 + 4 + 4))  # one step of 2 rows
+
+    module = AdapterMLP(hidden_dim=8)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(emb[:2]), train=True)
+    mask = ones_mask(variables["params"])
+
+    deltas = {}
+    for w in (0.5, 1.0):
+        state = init_train_state(variables["params"], variables["batch_stats"])
+        new_state, _ = train_contrastive_epoch(
+            module, state, jnp.asarray(emb), jnp.asarray(rows),
+            jnp.asarray([0.1], jnp.float32), mask,
+            num_anchor=1, num_positive=4, num_negative=4,
+            contrastive_weight=w, momentum=0.0, weight_decay=0.0,
+        )
+        deltas[w] = jax.tree.map(
+            lambda a, b: np.asarray(a) - np.asarray(b),
+            new_state.params, state.params,
+        )
+    for d1, d05 in zip(jax.tree.leaves(deltas[1.0]), jax.tree.leaves(deltas[0.5])):
+        assert np.abs(d1).max() > 0  # the step actually moved
+        np.testing.assert_allclose(d1, 2.0 * d05, rtol=1e-4, atol=1e-7)
+
+
 def test_contrastive_training_pulls_anchors_toward_positives():
     meta, table, tc, tg, ts = make_synthetic_dataset(
         SyntheticSpec(n_train=256, n_val=64, n_test=64, dim=32)
