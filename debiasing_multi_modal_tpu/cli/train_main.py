@@ -73,6 +73,13 @@ def build_parser():
     # the reference's flag is clobbered to 0.1 by parse_option
     # (visualizer_supcon.py:214,255); here it is live
     p.add_argument("--contrastive_weight", type=float, default=0.1)
+    # CE batches interleaved after each SupCon epoch: -1 full epoch (the
+    # working notebook flow), 0 pure SupCon, N>0 batch cap (the intent of
+    # visualizer_supcon.py:354, whose opt.ce_update is never defined)
+    p.add_argument("--ca_ce_update", type=int, default=-1)
+    # reference parse_option forces ca_pre_norm True (visualizer_supcon.py:258)
+    p.add_argument("--no_ca_pre_norm", dest="ca_pre_norm",
+                   action="store_false", default=True)
     p.add_argument("--batch_factor", type=int, default=4)
     p.add_argument("--watch_batch_results", action="store_true")
     p.add_argument("--save_results", action="store_true")
@@ -123,6 +130,8 @@ def config_from_args(args):
         num_negative=args.num_negative,
         cl_temperature=args.cl_temperature,
         contrastive_weight=args.contrastive_weight,
+        ca_ce_update=args.ca_ce_update,
+        ca_pre_norm=args.ca_pre_norm,
         batch_factor=args.batch_factor,
         random_seed=args.random_seed,
         save_results=args.save_results,

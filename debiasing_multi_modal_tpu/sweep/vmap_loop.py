@@ -415,6 +415,7 @@ def train_seeds_vmapped(
                 num_negative=cfg.num_negative,
                 temperature=cfg.cl_temperature,
                 contrastive_weight=cfg.contrastive_weight,
+                ca_pre_norm=cfg.ca_pre_norm,
                 momentum=cfg.momentum, weight_decay=cfg.weight_decay,
             )
             state = TrainState(
@@ -422,13 +423,36 @@ def train_seeds_vmapped(
                 {**state.batch_stats, "adapter": subS.batch_stats},
                 {**state.trace, "adapter": subS.trace},
             )
-            # the sequential loop reports contrastive train metrics via the
-            # weighted zero-shot eval pass (_evaluate -> weighted=True)
-            train_statsS = vm_eval(
-                single, state.params, state.batch_stats, bundle.train,
-                train_labels, text_class,
-            )
-            train_weighted = True
+            if cfg.ca_ce_update != 0:
+                # interleaved CE pass, mirroring loop.py's notebook-flow
+                # branch (full epoch, or a ca_ce_update-batch cap) — same
+                # per-seed rng consumption order as the sequential loop
+                ce_orders = None
+                if cfg.ca_ce_update > 0:
+                    ce_orders = [
+                        rngs[i].permutation(len(bundle.train))[
+                            : cfg.ca_ce_update * cfg.batch_size
+                        ]
+                        for i in range(S)
+                    ]
+                plans = make_plans(
+                    len(bundle.train), cfg.batch_size, orders=ce_orders
+                )
+                lrs = batch_lrs(epoch, plans[0].num_batches, 1)
+                state, statsS = vm_train(
+                    single, state, bundle.train, train_labels, text_class,
+                    plans, lrs, full_mask,
+                )
+                train_statsS, train_weighted = statsS, False
+            else:
+                # pure SupCon: the sequential loop reports contrastive train
+                # metrics via the weighted zero-shot eval pass
+                # (_evaluate -> weighted=True)
+                train_statsS = vm_eval(
+                    single, state.params, state.batch_stats, bundle.train,
+                    train_labels, text_class,
+                )
+                train_weighted = True
         else:
             orders = None
             if sample_weights is not None:

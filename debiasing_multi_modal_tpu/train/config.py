@@ -70,6 +70,18 @@ class TrainConfig:
     # (visualizer_supcon.py:255) — so 0.1 is the effective reference value;
     # here the flag is live (deliberate deviation, PARITY.md)
     contrastive_weight: float = 0.1
+    # CE batches interleaved after each SupCon epoch.  The working reference
+    # CA flow (workspace/jinsu/SupCon.ipynb cell 7) runs a FULL CE epoch
+    # after every contrastive epoch; demo/visualizer_supcon.py:354 caps the
+    # CE pass at `opt.ce_update` batches but never defines that attribute
+    # (AttributeError if reached — latent reference bug).  -1 = full CE
+    # epoch (default, the notebook flow), 0 = pure SupCon, N>0 = cap at N
+    # batches (what the :354 guard intends).
+    ca_ce_update: int = -1
+    # L2-normalize embeddings before the adapter in the CA loss path only
+    # (opt.ca_pre_norm = True, set unconditionally in parse_option,
+    # visualizer_supcon.py:258; the CE/ZS forward stays un-prenormalized)
+    ca_pre_norm: bool = True
 
     # misc
     random_seed: int = 42

@@ -18,6 +18,15 @@ value and the default here).  The adapter's BatchNorm sees the step's
 flattened row batch in train mode (the reference normalizes over each
 anchor/pos and anchor/neg sub-batch; documented deviation — statistics differ
 only in grouping, not in scale).
+
+``ca_pre_norm`` mirrors the effective reference configuration: the CA loss
+path L2-normalizes embeddings BEFORE the adapter (``opt.ca_pre_norm = True``
+set unconditionally in parse_option, visualizer_supcon.py:258; the working
+notebook's ``forward_ca`` does ``x / x.norm()`` first) while the CE/ZS
+forward feeds the adapter raw features (CustomCLIP.forward, :118-132).  The
+reference's projection head (``ca_head``) defaults to None and its
+``set_model`` has no contrastive branch at all (UnboundLocalError — latent
+bug), so no head is implemented here.
 """
 
 from __future__ import annotations
@@ -26,6 +35,7 @@ import functools
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 
 from debiasing_multi_modal_tpu.train.losses import supcon_loss
 from debiasing_multi_modal_tpu.train.steps import TrainState, _sgd
@@ -44,6 +54,7 @@ def _train_contrastive_epoch_impl(
     num_negative: int,
     temperature: float = 0.1,
     contrastive_weight: float = 0.1,
+    ca_pre_norm: bool = True,
     momentum: float = 0.9,
     weight_decay: float = 5e-5,
 ) -> Tuple[TrainState, jax.Array]:
@@ -55,6 +66,8 @@ def _train_contrastive_epoch_impl(
         r = step_rows.shape[0]
         flat = step_rows.reshape(-1)
         emb = embeddings[flat]  # [R*(A+P+Nn), D]
+        if ca_pre_norm:
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
         def loss_fn(params):
             adapted, mutated = module.apply(
@@ -87,7 +100,7 @@ def _train_contrastive_epoch_impl(
 
 _CL_STATICS = (
     "module", "num_anchor", "num_positive", "num_negative",
-    "temperature", "contrastive_weight", "momentum", "weight_decay",
+    "temperature", "contrastive_weight", "ca_pre_norm", "momentum", "weight_decay",
 )
 
 train_contrastive_epoch = functools.partial(
@@ -109,6 +122,7 @@ def train_contrastive_epoch_vmapped(
     num_negative: int,
     temperature: float = 0.1,
     contrastive_weight: float = 0.1,
+    ca_pre_norm: bool = True,
     momentum: float = 0.9,
     weight_decay: float = 5e-5,
 ) -> Tuple[TrainState, jax.Array]:
@@ -120,7 +134,7 @@ def train_contrastive_epoch_vmapped(
             module, st, embeddings, rows_i, lrs_i, train_mask,
             num_anchor=num_anchor, num_positive=num_positive,
             num_negative=num_negative, temperature=temperature,
-            contrastive_weight=contrastive_weight,
+            contrastive_weight=contrastive_weight, ca_pre_norm=ca_pre_norm,
             momentum=momentum, weight_decay=weight_decay,
         )
 

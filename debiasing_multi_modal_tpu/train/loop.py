@@ -528,7 +528,9 @@ def train_all_epochs(
             # reference's notebook-driven CA trainer, visualizer_supcon.py
             # train_one_epoch_cl; final_main.py lists the method but has no
             # working branch for it).  Rows are built once from the zero-shot
-            # slices; each epoch reshuffles them.
+            # slices; each epoch reshuffles them.  The working reference flow
+            # (workspace/jinsu/SupCon.ipynb cell 7) interleaves a CE epoch
+            # after every SupCon epoch — see cfg.ca_ce_update.
             from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
             from debiasing_multi_modal_tpu.train.contrastive import (
                 train_contrastive_epoch,
@@ -558,6 +560,7 @@ def train_all_epochs(
                 num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
                 num_negative=cfg.num_negative, temperature=cfg.cl_temperature,
                 contrastive_weight=cfg.contrastive_weight,
+                ca_pre_norm=cfg.ca_pre_norm,
                 momentum=cfg.momentum, weight_decay=cfg.weight_decay,
             )
             state = TS(
@@ -569,14 +572,30 @@ def train_all_epochs(
                 float(np.mean(np.asarray(cl_losses)))
             )
             log(f"contrastive loss: {history['cl_loss'][-1]:.4f}")
-            # train metrics via the zero-shot head on the train split
-            # (the reference's CL epoch reports loss only; group accuracy
-            # comes from validation passes)
-            train_res = _evaluate(
-                single, state.params, state.batch_stats, bundle.train,
-                train_labels, text_class, cfg.batch_size, bundle,
-                stage=stage, plan_cache=plan_cache,
-            )
+            if cfg.ca_ce_update != 0:
+                # interleaved CE pass on the same params/optimizer (the
+                # notebook flow's train_one_epoch call right after
+                # train_one_epoch_cl; ca_ce_update > 0 caps the batch count
+                # as visualizer_supcon.py:354 intends)
+                ce_order = None
+                if cfg.ca_ce_update > 0:
+                    ce_order = rng.permutation(len(bundle.train))[
+                        : cfg.ca_ce_update * cfg.batch_size
+                    ]
+                state, stats = run_train(
+                    state, single, bundle.train, train_labels, text_class,
+                    cfg.batch_size, 1, epoch, ce_order, full_mask,
+                )
+                train_res = _stats_to_results(stats, bundle, weighted=False)
+            else:
+                # pure SupCon: train metrics via the zero-shot head on the
+                # train split (the CL epoch reports loss only; group
+                # accuracy comes from validation passes)
+                train_res = _evaluate(
+                    single, state.params, state.batch_stats, bundle.train,
+                    train_labels, text_class, cfg.batch_size, bundle,
+                    stage=stage, plan_cache=plan_cache,
+                )
         else:
             # plain ERM epoch (linear_probing / adapter / phase 1)
             order = None

@@ -175,6 +175,34 @@ def test_contrastive_weight_scales_gradient(rng):
         np.testing.assert_allclose(d1, 2.0 * d05, rtol=1e-4, atol=1e-7)
 
 
+def test_ca_pre_norm_scale_invariance(rng):
+    """With ca_pre_norm=True (the effective reference configuration,
+    visualizer_supcon.py:258 + the notebook's forward_ca) the contrastive
+    epoch is invariant to a global rescale of the embedding table; with
+    ca_pre_norm=False the raw-scale path reacts to it."""
+    emb = rng.standard_normal((32, 16)).astype(np.float32) * 3.0
+    rows = rng.integers(0, 32, (2, 2, 1 + 4 + 4))
+
+    module = AdapterMLP(hidden_dim=8)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(emb[:2]), train=True)
+    mask = ones_mask(variables["params"])
+
+    def losses(e, pre_norm):
+        state = init_train_state(variables["params"], variables["batch_stats"])
+        _, ls = train_contrastive_epoch(
+            module, state, jnp.asarray(e), jnp.asarray(rows),
+            jnp.asarray([0.1, 0.1], jnp.float32), mask,
+            num_anchor=1, num_positive=4, num_negative=4,
+            ca_pre_norm=pre_norm,
+        )
+        return np.asarray(ls)
+
+    np.testing.assert_allclose(
+        losses(emb, True), losses(emb * 7.0, True), rtol=1e-5
+    )
+    assert np.abs(losses(emb, True) - losses(emb, False)).max() > 1e-4
+
+
 def test_contrastive_training_pulls_anchors_toward_positives():
     meta, table, tc, tg, ts = make_synthetic_dataset(
         SyntheticSpec(n_train=256, n_val=64, n_test=64, dim=32)

@@ -151,13 +151,13 @@ def test_determinism_same_seed(bundle):
 
 
 def test_contrastive_adapter_method(bundle):
-    """tl_method='contrastive_adapter' trains with SupCon (not silently CE):
-    the contrastive loss decreases across epochs and the full eval/selection
-    plumbing runs.  (ZS accuracy is not asserted: without a text-anchor
-    constraint SupCon legitimately reshapes the synthetic feature space away
-    from the synthetic text anchors.)"""
+    """tl_method='contrastive_adapter' follows the working reference CA flow
+    (workspace/jinsu/SupCon.ipynb cell 7): each epoch is a SupCon epoch plus
+    an interleaved CE epoch.  The contrastive loss decreases across epochs,
+    the CE anchor keeps the ZS head meaningful, and the full eval/selection
+    plumbing runs."""
     base = dict(BASE)
-    base["learning_rate"] = 0.02  # SupCon has no CE anchor; gentler LR
+    base["learning_rate"] = 0.02
     cfg = TrainConfig(
         tl_method="contrastive_adapter", epochs=5,
         num_positive=16, num_negative=16, batch_factor=8,
@@ -168,3 +168,25 @@ def test_contrastive_adapter_method(bundle):
     assert len(hist["cl_loss"]) == 5
     assert hist["cl_loss"][-1] < hist["cl_loss"][0], hist["cl_loss"]
     assert set(te) >= {"worst_acc", "mean_acc"}
+    # the interleaved CE epochs train the ZS head for real
+    assert te["mean_acc"] > 0.5, te
+
+
+def test_contrastive_adapter_ce_update_modes(bundle):
+    """ca_ce_update modes: 0 = pure SupCon (no CE pass — without the text
+    anchor the train metrics come from the ZS eval pass), N>0 caps the CE
+    pass at N batches (the intent of visualizer_supcon.py:354, whose
+    opt.ce_update attribute is never defined — latent reference bug)."""
+    base = dict(BASE)
+    base["learning_rate"] = 0.02
+    cfg = TrainConfig(
+        tl_method="contrastive_adapter", epochs=2,
+        num_positive=8, num_negative=8, batch_factor=4,
+        **base,
+    )
+    for mode in (0, 1):
+        (_, _, te), _, hist = train_all_epochs(
+            cfg.replace(ca_ce_update=mode), bundle, verbose=False
+        )
+        assert len(hist["cl_loss"]) == 2
+        assert set(te) >= {"worst_acc", "mean_acc"}
