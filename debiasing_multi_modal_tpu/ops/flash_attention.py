@@ -114,8 +114,15 @@ def supported(q, k, v, *, mask=None) -> bool:
         return False
     if q.shape[-1] % 64 != 0:  # head_dim must tile onto lanes
         return False
-    # every measurement behind the policy is self-attention (sq == skv);
-    # long-query/short-kv cross-attention is unmeasured, so it stays XLA
+    # asymmetric (cross-attention) shapes measured in round 3
+    # (scripts/bench_cross_attention.py): XLA wins EVERY asymmetric shape
+    # whose score tensor fits (0.54-1.05x pallas/xla at q4k/kv256,
+    # q256/kv4k, q1k/kv77, q8k/kv1k), so the min() guard stays; a short
+    # side below 1024 also can't produce a prohibitive score tensor before
+    # the q/o tensors themselves dominate HBM.  At the threshold the
+    # routed cell is a measured near-tie (q8k/kv2k, 12 GiB of logits:
+    # 46.8 vs 45.5 ms) — the Pallas path is insurance against the logits
+    # crowding out weights/activations in a real program, at ~3% cost.
     if min(q.shape[1], k.shape[1]) < MIN_AUTO_SEQ_LEN:
         return False
     b, sq, h, _ = q.shape
@@ -126,12 +133,43 @@ def supported(q, k, v, *, mask=None) -> bool:
     return _HAS_PLTPU
 
 
-def _heads_per_cell(bh: int, skv_pad: int, head_dim: int) -> int:
-    """Largest packing factor that divides the merged batch*head dim and
-    keeps a cell's kv working set within a conservative VMEM budget."""
-    budget_rows = 4096  # G * skv_pad rows of k and v (f32 on-chip)
+def _heads_per_cell(
+    bh: int, skv_pad: int, head_dim: int,
+    block_q: int = BLOCK_Q, block_kv: int = BLOCK_KV,
+) -> int:
+    """Largest packing factor g (divides the merged batch*head dim) whose
+    per-cell working set stays inside Mosaic's 16 MB scoped-VMEM limit.
+
+    Measured regimes (v5e, scripts/bench_cross_attention.py probes via the
+    static ``heads_per_cell`` arg — a fresh trace per value; patching this
+    function is silently ignored after the first trace):
+
+    - kv-rows rule (round 2): ``g * skv_pad <= 4096`` — correct for every
+      measured SELF-attention shape, where a long kv stream shrinks g
+      before the q-block buffers matter.  Kept as an upper bound so no
+      measured dispatch changes.
+    - big-q-block cap (round 3): the scoped allocation grows linearly in g
+      at ~``16*block_q*block_kv + 3584*block_q`` bytes per packed head
+      (fitted: 43.81M @ g16 and 21.81M @ g8 for 512x128 blocks, 25.82M
+      @ g8 for 512x256; g4 compiles in both).  Long-query/short-kv
+      cross-attention has a short kv stream AND 512-row q blocks, so the
+      rows rule alone picked g16 and VMEM-OOMed (surfacing as an opaque
+      tunnel HTTP 500).
+    - whole-sequence cells (block_kv == skv_pad in the 512-640 window) are
+      measured far lighter (g4 at 640x640 compiles and wins, round 2);
+      the rows rule stands there, capped at the measured g4.
+    """
+    rows_g = 1
     for g in (16, 8, 4, 2):
-        if bh % g == 0 and g * skv_pad <= budget_rows and head_dim * g <= 4096:
+        if bh % g == 0 and g * skv_pad <= 4096 and head_dim * g <= 4096:
+            rows_g = g
+            break
+    if block_kv == skv_pad and 512 <= block_q <= 640:
+        return min(rows_g, 4)  # rows_g >= 4 implies 4 | bh
+    per_g = 16 * block_q * block_kv + 3584 * block_q
+    cap = (16 << 20) // per_g
+    for g in (16, 8, 4, 2):
+        if bh % g == 0 and g <= min(rows_g, cap):
             return g
     return 1
 
@@ -332,10 +370,10 @@ def _merge_pad(x, b, h, d, s_pad):
 
 
 def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret,
-                      block_q, block_kv):
+                      block_q, block_kv, g=None):
     bh, sq_pad, d = qm.shape
     skv_pad = km.shape[1]
-    g = _heads_per_cell(bh, skv_pad, d)
+    g = g or _heads_per_cell(bh, skv_pad, d, block_q, block_kv)
     grid = (bh // g, sq_pad // block_q)
     out, lse = pl.pallas_call(
         functools.partial(
@@ -361,12 +399,12 @@ def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret,
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, causal, interpret, block_q, block_kv):
-    return _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, interpret, block_q, block_kv, g):
+    return _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv, g)[0]
 
 
-def _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv):
+def _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv, g):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5
@@ -377,13 +415,13 @@ def _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv):
     vm = _merge_pad(v, b, h, d, skv_pad)
     om, lse = _flash_fwd_padded(
         qm, km, vm, scale=scale, sq=sq, skv=skv, causal=causal,
-        interpret=interpret, block_q=block_q, block_kv=block_kv,
+        interpret=interpret, block_q=block_q, block_kv=block_kv, g=g,
     )
     out = om[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return out, (qm, km, vm, om, lse, (b, sq, h, d, skv))
 
 
-def _flash_bwd_rule(causal, interpret, block_q, block_kv, res, grad):
+def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
     qm, km, vm, om, lse, (b, sq, h, d, skv) = res
     scale = d ** -0.5
     sq_pad, skv_pad = qm.shape[1], km.shape[1]
@@ -393,7 +431,7 @@ def _flash_bwd_rule(causal, interpret, block_q, block_kv, res, grad):
     )
 
     bh = qm.shape[0]
-    g = _heads_per_cell(bh, max(skv_pad, sq_pad), d)
+    g = g or _heads_per_cell(bh, max(skv_pad, sq_pad), d, block_q, block_kv)
     kw = dict(scale=scale, kv_len=skv, q_len=sq, causal=causal)
 
     dqm = pl.pallas_call(
@@ -444,7 +482,10 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "interpret", "block_q", "block_kv")
+    jax.jit,
+    static_argnames=(
+        "causal", "interpret", "block_q", "block_kv", "heads_per_cell"
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -456,12 +497,17 @@ def flash_attention(
     interpret: bool = False,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    heads_per_cell: Optional[int] = None,
 ) -> jax.Array:
     """Fused attention: q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D].
 
     Block sizes default to the measured per-shape choice (``_pick_blocks``);
     pass ``block_q``/``block_kv`` to override (both must divide their padded
-    sequence).
+    sequence).  ``heads_per_cell`` overrides the VMEM-budgeted head-packing
+    factor (``_heads_per_cell``) for both passes; it is a STATIC argument
+    precisely so tuning probes get a fresh trace per value (a patched
+    module global is silently ignored after the first trace — the jit-cache
+    measurement trap).
 
     Differentiable: the backward pass is the standard flash-attention
     recomputation (blockwise dQ and dK/dV kernels over the saved row
@@ -472,5 +518,6 @@ def flash_attention(
     assert mask is None, "additive masks use the XLA path"
     auto_q, auto_kv = _pick_blocks(q.shape[1], k.shape[1])
     return _flash(
-        q, k, v, causal, interpret, block_q or auto_q, block_kv or auto_kv
+        q, k, v, causal, interpret, block_q or auto_q, block_kv or auto_kv,
+        heads_per_cell,
     )

@@ -141,8 +141,13 @@ def test_auto_dispatch_policy():
     assert not fa.supported(bf, bf, bf)  # 4.3 GiB bf16 scores: XLA
     f32 = jnp.zeros((16, 4096, 8, 64), jnp.float32)
     assert fa.supported(f32, f32, f32) == fa._HAS_PLTPU  # 8.6 GiB f32
-    # long-query/short-kv cross-attention is unmeasured -> XLA
+    # asymmetric shapes: XLA won every cross shape that fits (round 3,
+    # scripts/bench_cross_attention.py), and a short side < 1024 cannot
+    # produce prohibitive scores before q/o dominate HBM -> XLA
     assert not fa.supported(mk(64, 4096, 8, 64), mk(64, 77, 8, 64), mk(64, 77, 8, 64))
+    # at the threshold with both sides long, pallas takes the 12 GiB cell
+    xl = (mk(48, 8192, 8, 64), mk(48, 2048, 8, 64), mk(48, 2048, 8, 64))
+    assert fa.supported(*xl) == fa._HAS_PLTPU
     # additive masks and odd head dims stay on XLA
     assert not fa.supported(big, big, big, mask=jnp.zeros(()))
     odd = mk(64, 4096, 8, 80)
@@ -210,6 +215,48 @@ def test_flash_big_blocks_fwd_bwd_parity(rng, causal):
     g_x = jax.grad(loss_xla)(q)
     np.testing.assert_allclose(
         np.asarray(g_f), np.asarray(g_x), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_head_packing_vmem_budget():
+    """The packing chooser must respect Mosaic's 16 MB scoped-VMEM limit:
+    the per-cell working set grows ~linearly in g at
+    ``16*bq*bkv + 3584*bq`` bytes (fitted on measured scoped-OOM sizes,
+    scripts/bench_cross_attention.py probes).  Round 2's kv-rows-only rule
+    picked g16 for long-query/short-kv cross-attention (short kv stream +
+    512-row q blocks) and VMEM-OOMed on hardware; every measured self-
+    attention anchor must keep its round-2 packing unchanged."""
+    from debiasing_multi_modal_tpu.ops.flash_attention import _heads_per_cell
+
+    # measured round-2 anchors: unchanged
+    assert _heads_per_cell(6144, 128, 64, 128, 128) == 16   # S=50 small blocks
+    assert _heads_per_cell(1024, 640, 64, 640, 640) == 4    # 640 window
+    assert _heads_per_cell(128, 1024, 64, 512, 256) == 4    # 1k-ctx self
+    assert _heads_per_cell(32, 4096, 64, 512, 512) == 1     # 4k-ctx self
+    # round-3 VMEM fixes: previously g16 -> scoped OOM (43.81M vs 16M)
+    assert _heads_per_cell(128, 256, 64, 512, 128) == 4     # q4k/kv256
+    assert _heads_per_cell(2048, 128, 64, 512, 128) == 4    # q1k/kv77
+    assert _heads_per_cell(256, 1024, 64, 512, 256) == 4    # q8k/kv1k
+
+
+def test_flash_cross_attention_long_query_short_kv(rng):
+    """Long-query/short-kv shapes (the round-3 VMEM-OOM regime) must be
+    numerically identical to XLA, including explicit block/packing
+    overrides through the static heads_per_cell argument."""
+    b, sq, skv, h, d = 2, 1024, 100, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)  # auto blocks: bq=512
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    out2 = flash_attention(
+        q, k, v, interpret=True, block_q=256, block_kv=128, heads_per_cell=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
 
 
