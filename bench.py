@@ -247,5 +247,37 @@ def main():
     )
 
 
+def _is_transient_tunnel_error(exc: BaseException) -> bool:
+    """Transient axon-tunnel failures (HTTP 500 flakes, dropped remote
+    connections) are retryable; genuine compile errors are not.  A VMEM-OOM
+    also surfaces as an HTTP 500 over the tunnel but carries the allocation
+    message — never retry those (measured taxonomy: memory/axon notes)."""
+    msg = str(exc)
+    if "Ran out of memory" in msg or "Scoped allocation" in msg:
+        return False
+    return (
+        "HTTP 500" in msg
+        or "remote_compile" in msg
+        or "Connection reset" in msg
+        or "UNAVAILABLE" in msg
+    )
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    # the driver records this artifact once per round; retry the whole
+    # bench on transient tunnel flakes so one dropped request doesn't void
+    # the round's evidence (steady-state numbers are unaffected — the
+    # retry recompiles from the persistent cache)
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    for attempt in range(attempts):
+        try:
+            sys.exit(main())
+        except Exception as e:  # noqa: BLE001 - classified below
+            if attempt + 1 >= attempts or not _is_transient_tunnel_error(e):
+                raise
+            print(
+                f"transient tunnel error (attempt {attempt + 1}/{attempts}), "
+                f"retrying: {type(e).__name__}",
+                file=sys.stderr,
+            )
+            time.sleep(10 * (attempt + 1))
