@@ -268,7 +268,7 @@ if __name__ == "__main__":
     # bench on transient tunnel flakes so one dropped request doesn't void
     # the round's evidence (steady-state numbers are unaffected — the
     # retry recompiles from the persistent cache)
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    attempts = max(1, int(os.environ.get("BENCH_ATTEMPTS", "3")))
     for attempt in range(attempts):
         try:
             sys.exit(main())

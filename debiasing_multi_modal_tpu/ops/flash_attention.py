@@ -164,7 +164,7 @@ def _heads_per_cell(
         if bh % g == 0 and g * skv_pad <= 4096 and head_dim * g <= 4096:
             rows_g = g
             break
-    if block_kv == skv_pad and 512 <= block_q <= 640:
+    if block_kv == skv_pad and 512 <= block_q <= 640 and block_kv <= 640:
         return min(rows_g, 4)  # rows_g >= 4 implies 4 | bh
     per_g = 16 * block_q * block_kv + 3584 * block_q
     cap = (16 << 20) // per_g
@@ -373,6 +373,12 @@ def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret,
                       block_q, block_kv, g=None):
     bh, sq_pad, d = qm.shape
     skv_pad = km.shape[1]
+    if g is not None and (g <= 0 or bh % g):
+        raise ValueError(
+            f"heads_per_cell={g} must be positive and divide the merged "
+            f"batch*head dim {bh} (a non-divisor leaves output rows "
+            f"uncomputed)"
+        )
     g = g or _heads_per_cell(bh, skv_pad, d, block_q, block_kv)
     grid = (bh // g, sq_pad // block_q)
     out, lse = pl.pallas_call(
@@ -431,6 +437,11 @@ def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
     )
 
     bh = qm.shape[0]
+    if g is not None and (g <= 0 or bh % g):
+        raise ValueError(
+            f"heads_per_cell={g} must be positive and divide the merged "
+            f"batch*head dim {bh}"
+        )
     g = g or _heads_per_cell(bh, max(skv_pad, sq_pad), d, block_q, block_kv)
     kw = dict(scale=scale, kv_len=skv, q_len=sq, causal=causal)
 

@@ -233,10 +233,23 @@ def test_head_packing_vmem_budget():
     assert _heads_per_cell(1024, 640, 64, 640, 640) == 4    # 640 window
     assert _heads_per_cell(128, 1024, 64, 512, 256) == 4    # 1k-ctx self
     assert _heads_per_cell(32, 4096, 64, 512, 512) == 1     # 4k-ctx self
+    assert _heads_per_cell(256, 1024, 64, 512, 256) == 4    # q8k/kv1k cross
     # round-3 VMEM fixes: previously g16 -> scoped OOM (43.81M vs 16M)
     assert _heads_per_cell(128, 256, 64, 512, 128) == 4     # q4k/kv256
     assert _heads_per_cell(2048, 128, 64, 512, 128) == 4    # q1k/kv77
-    assert _heads_per_cell(256, 1024, 64, 512, 256) == 4    # q8k/kv1k
+    # explicit whole-kv block overrides past the 640 window fall through
+    # to the fitted cap instead of the carve-out (g=1, not min(rows,4))
+    assert _heads_per_cell(32, 2048, 64, 512, 2048) == 1
+
+
+def test_flash_invalid_heads_per_cell_rejected(rng):
+    """A heads_per_cell override that doesn't divide the merged batch*head
+    dim must raise, not silently leave output rows uncomputed."""
+    q = jnp.asarray(rng.standard_normal((3, 64, 8, 64)), jnp.float32)
+    with pytest.raises(ValueError, match="heads_per_cell"):
+        flash_attention(q, q, q, interpret=True, heads_per_cell=16)  # bh=24
+    with pytest.raises(ValueError, match="heads_per_cell"):
+        flash_attention(q, q, q, interpret=True, heads_per_cell=-1)
 
 
 def test_flash_cross_attention_long_query_short_kv(rng):

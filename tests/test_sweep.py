@@ -69,9 +69,23 @@ def bundle():
             "contrastive_adapter",
             dict(num_positive=8, num_negative=8, batch_factor=2),
         ),
+        # capped interleaved-CE mode: exercises the per-seed ce_orders
+        # construction (vmap_loop) against loop.py's capped permutation
+        (
+            "contrastive_adapter",
+            dict(num_positive=8, num_negative=8, batch_factor=2,
+                 ca_ce_update=1),
+        ),
+        # pure-SupCon mode: train metrics via the weighted ZS eval pass
+        (
+            "contrastive_adapter",
+            dict(num_positive=8, num_negative=8, batch_factor=2,
+                 ca_ce_update=0),
+        ),
     ],
     ids=["adapter", "seq_alter_ma", "seq_alter_ma_randominit", "adapter_reg",
-         "seq", "resample_ce", "linear_probing", "contrastive"],
+         "seq", "resample_ce", "linear_probing", "contrastive",
+         "contrastive_ce_capped", "contrastive_pure_supcon"],
 )
 def test_vmapped_seeds_match_sequential(bundle, method, extra):
     cfg = TrainConfig(tl_method=method, epochs=5, **extra, **BASE)
