@@ -381,3 +381,59 @@ def test_erm_bias_phenotype_matches(cache):
     assert ref["weighted_mean_acc"] > 0.8 and ours["weighted_mean_acc"] > 0.8
     assert ref["worst_acc"] < 0.5 and ours["worst_acc"] < 0.5
     assert abs(ref["weighted_mean_acc"] - ours["weighted_mean_acc"]) < 0.1
+
+
+def test_linear_probing_agrees(cache):
+    """linear_probing (reference: LinearClassifier over raw CLIP
+    embeddings, final_main.py:306-308, eval at :757 — the 'should match
+    zero-shot baselines' sanity arm, :1039-1040) agrees
+    cross-implementation: both learn the spurious shortcut from the same
+    cache with closely matching weighted means."""
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(
+        dataset="waterbirds", tl_method="linear_probing", epochs=6,
+        batch_size=128, learning_rate=0.5, input_dim=1024,
+        lr_decay_epochs=(100,),
+    )
+    args = ["--tl_method", "linear_probing", "--epochs", "6"]
+    ref_w, our_w, ref_m, our_m = [], [], [], []
+    for seed in (42, 32):
+        r = _run_reference(cache, args, seed)["test"]
+        t = _run_ours(cache, cfg, seed)
+        ref_w.append(r["worst_acc"])
+        our_w.append(t["worst_acc"])
+        ref_m.append(r["weighted_mean_acc"])
+        our_m.append(t["weighted_mean_acc"])
+    assert abs(np.mean(ref_m) - np.mean(our_m)) < 0.1, (ref_m, our_m)
+    assert abs(np.mean(ref_w) - np.mean(our_w)) < 0.2, (ref_w, our_w)
+
+
+def test_seq_continue_from_best_cls_prompt_agrees(cache):
+    """The two remaining stage-2 flag variants in one cell:
+    --continue_from_best (stage 2 warm-starts from the best-worst-acc
+    stage-1 model, final_main.py:940-943,1092) and --use_cls_prompt_in_reg
+    (reg epochs use the class prompts instead of group prompts,
+    :926,972-979), on the non-alter adapter_reg_seq method.  Both
+    implementations must debias above their ERM baseline on the same
+    cache."""
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(
+        dataset="waterbirds", tl_method="adapter_reg_seq", epochs=10,
+        epochs_feature_learning=4, batch_size=128, batch_size_reg=64,
+        learning_rate=0.5, learning_rate_reg=0.5, input_dim=1024,
+        lr_decay_epochs=(100,), add_adapter=True, warm_reg=True,
+        continue_from_best=True, use_cls_prompt_in_reg=True,
+    )
+    args = [
+        "--tl_method", "adapter_reg_seq", "--epochs", "10",
+        "--epochs_feature_learning", "4", "--batch_size_reg", "64",
+        "--learning_rate_reg", "0.5", "--add_adapter", "--warm_reg",
+        "--continue_from_best", "--use_cls_prompt_in_reg",
+    ]
+    ref_w, our_w = [], []
+    for seed in (42, 32):
+        ref_w.append(_run_reference(cache, args, seed)["test"]["worst_acc"])
+        our_w.append(_run_ours(cache, cfg, seed)["worst_acc"])
+    assert abs(np.mean(ref_w) - np.mean(our_w)) < 0.25, (ref_w, our_w)
