@@ -16,8 +16,16 @@ comparison is statistical over a seed set, not bitwise:
   both (measured calibration: ref 0.588/0.618/0.682, ours 0.664/0.719/0.650
   over seeds 42/32/22 — means within 0.05).
 
+Coverage: every runnable reference tl_method — linear_probing, ERM
+adapter, resample_ce, adapter_reg interleave, adapter_reg_seq (with
+continue_from_best + use_cls_prompt_in_reg), adapter_reg_seq_alter + MA,
+balval seq-alter MA on the CelebA layout — plus the artifact-interchange
+test (an adapter trained here evaluates identically inside the reference's
+MultipleAdapter).  contrastive_adapter cannot be oracled: the reference
+ships no working branch for it (PARITY deviation 6).
+
 Opt-in (several minutes of CPU; the reference's python-loop trainer runs
-3 seeds x 2 configs):
+multiple seeds per family):
 
     RUN_ORACLE_TEST=1 python -m pytest tests/test_reference_oracle.py -q
 
