@@ -29,6 +29,11 @@ def extend_parser(p):
                    help="train all --lr_list cells as stacked rows of one "
                         "vmapped program (identical results, |lr_list|x "
                         "fewer programs)")
+    p.add_argument("--stack_bsr_axis", action="store_true",
+                   help="additionally stack the --bsr_list axis (reg "
+                        "methods): shorter reg epochs pad and no-op, so the "
+                        "whole lr x bsr grid per train batch size is one "
+                        "vmapped program")
     p.add_argument("--seed_mesh", action="store_true",
                    help="shard each cell's seed axis across all devices "
                         "(len(seeds) must divide the device count)")
@@ -68,9 +73,10 @@ def main(args):
 
         mesh = make_mesh(axis_names=("data",))
 
-    if args.stack_lr_axis and args.no_vmap:
+    if (args.stack_lr_axis or args.stack_bsr_axis) and args.no_vmap:
         raise SystemExit(
-            "--stack_lr_axis requires the vmapped path; drop --no_vmap"
+            "--stack_lr_axis/--stack_bsr_axis require the vmapped path; "
+            "drop --no_vmap"
         )
     out = run_sweep(
         cfg,
@@ -85,6 +91,7 @@ def main(args):
         mesh=mesh,
         verbose=True,
         stack_lr_axis=args.stack_lr_axis,
+        stack_bsr_axis=args.stack_bsr_axis,
         skip_existing=args.skip_existing,
     )
     for path in out:

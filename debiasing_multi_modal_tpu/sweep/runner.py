@@ -117,6 +117,7 @@ def run_sweep(
     verbose: bool = False,
     mesh=None,
     stack_lr_axis: bool = False,
+    stack_bsr_axis: bool = False,
     skip_existing: bool = False,
 ) -> Dict[str, list]:
     """Nested lr x bs x bsr grid, each cell trained over all seeds.
@@ -135,7 +136,14 @@ def run_sweep(
     (train_seeds_vmapped ``lr_grid``) instead of the reference's outer
     Python loop (final_main_iteration_ca.py:1179-1256) — |lr_list|x fewer
     program dispatches per epoch, identical per-cell results (pinned by
-    test_sweep.py::test_stacked_lr_axis_matches_per_cell_runs)."""
+    test_sweep.py::test_stacked_lr_axis_matches_per_cell_runs).
+
+    ``stack_bsr_axis`` additionally collapses the bsr loop (reg methods
+    only): reg-epoch plans pad to the largest cell's shape and shorter rows
+    no-op through the tail (train_seeds_vmapped ``cell_grid``), so the
+    whole (lr x bsr) grid at one train batch size is ONE program — e.g. the
+    reference's 16-cell Waterbirds grid (run_final_main_iteration_wb.sh:
+    22-24) becomes two programs, one per bs."""
 
     def _cell_cfg(cfg, lr):
         if lr is None:
@@ -146,51 +154,71 @@ def run_sweep(
         return cfg
 
     lr_values = list(lr_list)
+    bsr_values = list(bsr_list)
     stack = (
         stack_lr_axis
         and use_vmap
         and len(lr_values) > 1
         and all(lr is not None for lr in lr_values)
     )
+    # bsr stacking only differentiates reg methods (bsr is inert elsewhere,
+    # so stacked cells would be duplicates); it subsumes lr stacking when
+    # both are on, and degenerates to a one-bsr cell_grid with lr stacking.
+    stack_bsr = (
+        stack_bsr_axis
+        and use_vmap
+        and base_cfg.is_reg_method
+        and len(bsr_values) > 1
+        and all(b is not None for b in bsr_values)
+        and (stack or len(lr_values) == 1)
+    )
     all_results = {}
+
+    def _run_stacked(cfg0, grid_cfgs):
+        """One vmapped program over (cells x seeds); per-cell CSVs."""
+        if skip_existing:
+            # per-cell resume semantics: stack only the missing cells
+            # (the stack just shrinks; shapes pad per remaining rows)
+            grid_cfgs = [
+                c
+                for c in grid_cfgs
+                if not os.path.isfile(
+                    os.path.join(result_root, cell_filename(c))
+                )
+            ]
+            if not grid_cfgs:
+                return
+        rows = train_seeds_vmapped(
+            cfg0, bundle, seeds, verbose=verbose, mesh=mesh,
+            cell_grid=grid_cfgs,
+        )
+        n = len(seeds)
+        for gi, cfg in enumerate(grid_cfgs):
+            results = rows[gi * n : (gi + 1) * n]
+            path = os.path.join(result_root, cell_filename(cfg))
+            aggregate_csv(results, path)
+            all_results[path] = results
+
+    if stack_bsr:
+        for bs in bs_list:
+            cfg0 = base_cfg if bs is None else base_cfg.replace(batch_size=bs)
+            grid_cfgs = [
+                _cell_cfg(cfg0.replace(batch_size_reg=bsr), lr)
+                for bsr in bsr_values
+                for lr in lr_values
+            ]
+            _run_stacked(cfg0, grid_cfgs)
+        return all_results
+
     for bs in bs_list:
-        for bsr in bsr_list:
+        for bsr in bsr_values:
             cfg0 = base_cfg
             if bs is not None:
                 cfg0 = cfg0.replace(batch_size=bs)
             if bsr is not None:
                 cfg0 = cfg0.replace(batch_size_reg=bsr)
             if stack:
-                from debiasing_multi_modal_tpu.sweep.vmap_loop import (
-                    train_seeds_vmapped,
-                )
-
-                grid_cfgs = [_cell_cfg(cfg0, lr) for lr in lr_values]
-                if skip_existing:
-                    # per-cell resume semantics: stack only the missing lr
-                    # cells (shapes still match, the stack just shrinks)
-                    grid_cfgs = [
-                        c
-                        for c in grid_cfgs
-                        if not os.path.isfile(
-                            os.path.join(result_root, cell_filename(c))
-                        )
-                    ]
-                    if not grid_cfgs:
-                        continue
-                lr_grid = [
-                    (c.learning_rate, c.learning_rate_reg) for c in grid_cfgs
-                ]
-                rows = train_seeds_vmapped(
-                    cfg0, bundle, seeds, verbose=verbose, mesh=mesh,
-                    lr_grid=lr_grid,
-                )
-                n = len(seeds)
-                for gi, cfg in enumerate(grid_cfgs):
-                    results = rows[gi * n : (gi + 1) * n]
-                    path = os.path.join(result_root, cell_filename(cfg))
-                    aggregate_csv(results, path)
-                    all_results[path] = results
+                _run_stacked(cfg0, [_cell_cfg(cfg0, lr) for lr in lr_values])
             else:
                 for lr in lr_values:
                     cfg = _cell_cfg(cfg0, lr)

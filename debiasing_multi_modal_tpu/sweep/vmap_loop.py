@@ -92,6 +92,29 @@ def _init_stacked(module, cfg, keys, n_cls, *, init_on_first: bool = False):
     return jax.jit(jax.vmap(one))(keys)
 
 
+def _pad_stack_plans(plans):
+    """Stack per-row BatchPlans of differing shapes into padded arrays.
+
+    Returns ``(idx [S, nb_max, bs_max], mask [S, nb_max, bs_max],
+    active [S, nb_max])``: shorter epochs pad with index-0 batches under a
+    False mask AND a False step-activity flag — the padded steps are true
+    no-ops in the scan (train/steps.py ``active`` gating), so rows with
+    different batch sizes train their exact per-cell semantics inside one
+    program."""
+    S = len(plans)
+    nb_max = max(p.indices.shape[0] for p in plans)
+    bs_max = max(p.indices.shape[1] for p in plans)
+    idx = np.zeros((S, nb_max, bs_max), np.int32)
+    msk = np.zeros((S, nb_max, bs_max), bool)
+    act = np.zeros((S, nb_max), bool)
+    for i, p in enumerate(plans):
+        nb, bs = p.indices.shape
+        idx[i, :nb, :bs] = p.indices
+        msk[i, :nb, :bs] = p.mask
+        act[i, :nb] = True
+    return idx, msk, act
+
+
 def train_seeds_vmapped(
     cfg: TrainConfig,
     bundle: DataBundle,
@@ -99,6 +122,7 @@ def train_seeds_vmapped(
     verbose: bool = False,
     mesh=None,
     lr_grid: Optional[Sequence[Tuple[float, float]]] = None,
+    cell_grid: Optional[Sequence[TrainConfig]] = None,
 ):
     """Train all seeds simultaneously; returns a list (per seed) of the same
     ``((best_train, best_val, best_test), (zs_class, zs_spurious))`` tuples
@@ -119,31 +143,68 @@ def train_seeds_vmapped(
     tensor shape, so the reference's outer lr loop
     (final_main_iteration_ca.py:1179-1256) collapses into one XLA program
     per epoch.  Results return in row order (lr-major).
+
+    ``cell_grid`` generalizes lr_grid to full per-cell configs that may also
+    differ in ``batch_size_reg`` (the reference's bsr grid axis,
+    run_final_main_iteration_wb.sh:22-24): reg-epoch plans pad to the
+    longest row's (num_batches, batch_size) and shorter rows no-op through
+    their padded tail (``active`` gating in train/steps.py), so every
+    (lr x bsr) cell at one train batch size trains in ONE program.  Cells
+    must agree with ``cfg`` in everything except learning_rate,
+    learning_rate_reg, and batch_size_reg.  Results return in cell order
+    (cells outer, seeds inner).
     """
+    if cell_grid is not None and lr_grid is not None:
+        raise ValueError("pass either lr_grid or cell_grid, not both")
     if lr_grid is not None:
-        row_cfgs = [
+        cell_grid = [
             cfg.replace(learning_rate=float(lr), learning_rate_reg=float(lrr))
             for (lr, lrr) in lr_grid
-            for _ in seeds
         ]
-        seeds = [s for _ in lr_grid for s in seeds]
+    if cell_grid is not None:
+        for rc in cell_grid:
+            if rc.replace(
+                learning_rate=cfg.learning_rate,
+                learning_rate_reg=cfg.learning_rate_reg,
+                batch_size_reg=cfg.batch_size_reg,
+            ) != cfg:
+                raise ValueError(
+                    "cell_grid cells may differ from the base config only in "
+                    "learning_rate / learning_rate_reg / batch_size_reg"
+                )
+        row_cfgs = [rc for rc in cell_grid for _ in seeds]
+        seeds = [s for _ in cell_grid for s in seeds]
     else:
         row_cfgs = None
     S = len(seeds)
     rngs = [np.random.default_rng(s) for s in seeds]
 
     def batch_lrs(epoch, nb, phase):
-        """[nb] shared schedule, or [S, nb] per-row when lr-stacked."""
+        """[nb] shared schedule, or [S, nb] per-row when grid-stacked."""
         if row_cfgs is None:
             return epoch_batch_lrs(cfg, epoch, nb, phase)
         return np.stack([epoch_batch_lrs(rc, epoch, nb, phase) for rc in row_cfgs])
+
+    def batch_lrs_plans(epoch, plans, phase):
+        """Per-plan schedules: [nb] shared, or [S, nb_max] zero-padded when
+        rows have their own configs or epoch lengths (warmup is indexed by
+        the row's REAL batch count, matching its sequential run)."""
+        nbs = [p.num_batches for p in plans]
+        if row_cfgs is None and len(set(nbs)) == 1:
+            return epoch_batch_lrs(cfg, epoch, nbs[0], phase)
+        out = np.zeros((S, max(nbs)), np.float32)
+        for i in range(S):
+            rc = row_cfgs[i] if row_cfgs is not None else cfg
+            out[i, : nbs[i]] = epoch_batch_lrs(rc, epoch, nbs[i], phase)
+        return out
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         n_data = mesh.shape["data"]
         if S % n_data:
             what = (
-                f"rows (lr cells x seeds) = {S}"
+                f"rows (grid cells x seeds) = {S}"
                 if row_cfgs is not None
                 else f"len(seeds)={S}"
             )
@@ -178,7 +239,14 @@ def train_seeds_vmapped(
         val_split = bundle.val.take(val_idx)
     else:
         reg_split, val_split = None, bundle.val
-    eval_bs = cfg.batch_size_reg if cfg.is_reg_method else cfg.batch_size
+    # eval batching is semantics-free (running BN stats, per-row logits,
+    # exact group counts) — bsr-stacked rows share the largest cell's
+    eval_bs = (
+        (max(rc.batch_size_reg for rc in row_cfgs)
+         if row_cfgs is not None else cfg.batch_size_reg)
+        if cfg.is_reg_method
+        else cfg.batch_size
+    )
 
     sample_weights = None
     if cfg.resample_ce:
@@ -236,13 +304,20 @@ def train_seeds_vmapped(
     eval_plans: Dict[Tuple[int, int], tuple] = {}
 
     def vm_train(module, st, split, labels, text, plansS, lrs, mask_tree):
-        idxS = place(jnp.asarray(np.stack([p.indices for p in plansS])))
-        maskS = place(jnp.asarray(np.stack([p.mask for p in plansS])))
+        if len({p.indices.shape for p in plansS}) == 1:
+            idxS = place(jnp.asarray(np.stack([p.indices for p in plansS])))
+            maskS = place(jnp.asarray(np.stack([p.mask for p in plansS])))
+            activeS = None
+        else:  # bsr-stacked rows: pad to the longest epoch, gate the tail
+            idx, msk, act = _pad_stack_plans(plansS)
+            idxS = place(jnp.asarray(idx))
+            maskS = place(jnp.asarray(msk))
+            activeS = place(jnp.asarray(act))
 
         return train_epoch_vmapped(
             module, st, stage(split.emb), stage(labels), stage(split.group),
             idxS, maskS, jnp.asarray(lrs), stage(text), mask_tree,
-            n_groups=bundle.n_groups, momentum=cfg.momentum,
+            active=activeS, n_groups=bundle.n_groups, momentum=cfg.momentum,
             weight_decay=cfg.weight_decay,
         )
 
@@ -268,26 +343,35 @@ def train_seeds_vmapped(
         )
 
     def make_plans(split_len, bs, orders=None, shuffle=True):
+        """``bs`` is shared (int) or per-row (list) for bsr-stacked grids."""
         plans = []
         for i in range(S):
             order = None if orders is None else orders[i]
+            bs_i = bs[i] if isinstance(bs, list) else bs
             plans.append(
-                epoch_plan(split_len, bs, shuffle=shuffle and order is None,
+                epoch_plan(split_len, bs_i, shuffle=shuffle and order is None,
                            rng=rngs[i], order=order)
             )
         return plans
 
     for epoch in range(1, cfg.epochs + 1):
-        # per-seed balanced reg orders
+        # per-seed balanced reg orders; per-row reg batch size when stacked
         if cfg.balance_val and cfg.is_reg_method:
             reg_orders = [
                 balanced_subset_indices(reg_split.group, rngs[i], bundle.n_groups)
                 for i in range(S)
             ]
-            reg_bs = min(cfg.batch_size_reg, len(reg_orders[0]))
+            reg_bs = [
+                min((row_cfgs[i] if row_cfgs is not None else cfg).batch_size_reg,
+                    len(reg_orders[i]))
+                for i in range(S)
+            ]
         elif reg_split is not None:
             reg_orders = None
-            reg_bs = cfg.batch_size_reg
+            reg_bs = [
+                (row_cfgs[i] if row_cfgs is not None else cfg).batch_size_reg
+                for i in range(S)
+            ]
 
         if cfg.tl_method == "adapter_reg":
             plans = make_plans(len(bundle.train), cfg.batch_size)
@@ -298,7 +382,7 @@ def train_seeds_vmapped(
             )
             group_prompt = not cfg.use_cls_prompt_in_reg
             rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
-            rlrs = batch_lrs(epoch, rplans[0].num_batches, 1)
+            rlrs = batch_lrs_plans(epoch, rplans, 1)
             state, reg_statsS = vm_train(
                 single, state, reg_split,
                 reg_labels_group if group_prompt else reg_labels_target,
@@ -353,7 +437,7 @@ def train_seeds_vmapped(
             labels2 = reg_labels_group if use_group else reg_labels_target
             text2 = text_group if use_group else text_class
             rplans = make_plans(len(reg_split), reg_bs, orders=reg_orders)
-            rlrs = batch_lrs(epoch, rplans[0].num_batches, 2)
+            rlrs = batch_lrs_plans(epoch, rplans, 2)
             if cfg.add_adapter:
                 ma_state, statsS = vm_train(
                     multiple, ma_state, reg_split, labels2, text2, rplans,

@@ -92,15 +92,26 @@ def _train_epoch_impl(
     train_mask: Any,  # 0/1 pytree over params
     *,
     module_kwargs: Optional[Dict[str, Any]] = None,
+    active: Optional[jax.Array] = None,  # [nb] bool — False on padded steps
     n_groups: int = 4,
     momentum: float = 0.9,
     weight_decay: float = 5e-5,
 ) -> Tuple[TrainState, EpochStats]:
+    """``active`` marks real scan steps when epochs of different lengths are
+    stacked into one program (the bsr-axis grid, sweep/vmap_loop.py): a False
+    step's batch is fully padded, whose masked statistics are 0/0 = NaN, so
+    the whole carry update (params, momentum, BatchNorm stats, meters) is
+    discarded via select — the step is a true no-op, not a zero-lr step
+    (zero-lr would still decay the momentum buffers and mutate BN stats)."""
     kwargs = module_kwargs or {}
+    gated = active is not None
 
     def body(carry, xs):
         st, acc = carry
-        b_idx, b_mask, lr = xs
+        if gated:
+            b_idx, b_mask, lr, act = xs
+        else:
+            b_idx, b_mask, lr = xs
         emb = embeddings[b_idx]
         lab = labels[b_idx]
         grp = groups[b_idx]
@@ -123,17 +134,28 @@ def _train_epoch_impl(
         new_params, new_trace = _sgd(
             st.params, grads, st.trace, lr, momentum, weight_decay, train_mask
         )
-        st = TrainState(new_params, mutated["batch_stats"], new_trace)
+        new_st = TrainState(new_params, mutated["batch_stats"], new_trace)
 
         c, n = batch_group_counts(logits, lab, grp, b_mask, n_groups)
         nvalid = b_mask.astype(jnp.float32).sum()
+        if gated:
+            new_st = jax.tree.map(
+                lambda new, old: jnp.where(act, new, old), new_st, st
+            )
+            zero = jnp.float32(0.0)
+            c = jnp.where(act, c, zero)
+            n = jnp.where(act, n, zero)
+            loss_add = jnp.where(act, loss * nvalid, zero)
+            nvalid = jnp.where(act, nvalid, zero)
+        else:
+            loss_add = loss * nvalid
         acc = EpochStats(
             acc.corrects + c,
             acc.counts + n,
-            acc.loss_sum + loss * nvalid,
+            acc.loss_sum + loss_add,
             acc.n + nvalid,
         )
-        return (st, acc), None
+        return (new_st, acc), None
 
     zeros = EpochStats(
         jnp.zeros(n_groups, jnp.float32),
@@ -141,7 +163,8 @@ def _train_epoch_impl(
         jnp.float32(0.0),
         jnp.float32(0.0),
     )
-    (state, stats), _ = jax.lax.scan(body, (state, zeros), (idx, mask, lrs))
+    xs = (idx, mask, lrs, active) if gated else (idx, mask, lrs)
+    (state, stats), _ = jax.lax.scan(body, (state, zeros), xs)
     return state, stats
 
 
@@ -166,6 +189,7 @@ def train_epoch_vmapped(
     text: jax.Array,
     train_mask: Any,  # scalar-leaf 0/1 pytree, shared
     *,
+    active: Optional[jax.Array] = None,  # [S, nb] bool — per-row real steps
     n_groups: int = 4,
     momentum: float = 0.9,
     weight_decay: float = 5e-5,
@@ -177,19 +201,28 @@ def train_epoch_vmapped(
 
     2-D ``lrs`` gives each stacked row its own schedule — the lr-axis grid
     stacking of ``run_sweep(stack_lr_axis=True)``, where rows are
-    (lr cell x seed) pairs rather than seeds alone.
+    (lr cell x seed) pairs rather than seeds alone.  ``active`` marks each
+    row's real scan steps when rows stack different batch sizes (the
+    bsr-axis grid): rows with fewer batches pad to the longest epoch and
+    no-op through their padded tail.
     """
 
-    def one(st, idx_i, msk_i, lrs_i):
+    def one(st, idx_i, msk_i, lrs_i, act_i):
         return _train_epoch_impl(
             module, st, embeddings, labels, groups, idx_i, msk_i, lrs_i, text,
-            train_mask, n_groups=n_groups, momentum=momentum,
+            train_mask, active=act_i, n_groups=n_groups, momentum=momentum,
             weight_decay=weight_decay,
         )
 
+    if active is not None:
+        if lrs.ndim != 2:
+            lrs = jnp.broadcast_to(lrs, (idx.shape[0],) + lrs.shape)
+        return jax.vmap(one)(state, idx, mask, lrs, active)
     if lrs.ndim == 2:
-        return jax.vmap(one)(state, idx, mask, lrs)
-    return jax.vmap(lambda st, i, m: one(st, i, m, lrs))(state, idx, mask)
+        return jax.vmap(lambda st, i, m, l: one(st, i, m, l, None))(
+            state, idx, mask, lrs
+        )
+    return jax.vmap(lambda st, i, m: one(st, i, m, lrs, None))(state, idx, mask)
 
 
 def _eval_epoch_impl(

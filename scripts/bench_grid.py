@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Wall-clock of the FULL reference Waterbirds sweep grid on one chip.
+
+The reference hand-parallelizes bs{512,1024} x bsr{64,128,256,512} x
+lr{1,10} x 3 seeds across GPUs (run_multiple/run_final_main_iteration_wb.sh:
+22-24); here the grid executes as vmapped programs on one device, with the
+lr and (optionally) bsr axes stacked into the programs themselves.  Feeds
+the grid-stacking numbers in docs/DESIGN.md §4.
+
+    python scripts/bench_grid.py [epochs] [mode...]
+
+modes: percell | lr | lrbsr   (default: lr lrbsr)
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    modes = sys.argv[2:] or ["lr", "lrbsr"]
+
+    from debiasing_multi_modal_tpu.data.groups import GroupTable
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    from debiasing_multi_modal_tpu.data.synthetic import (
+        SyntheticSpec, make_synthetic_dataset,
+    )
+    from debiasing_multi_modal_tpu.sweep.runner import run_sweep
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table
+
+    spec = SyntheticSpec(dim=1024, n_train=4795, n_val=1199, n_test=5794)
+    meta, table, tc, tg, ts = make_synthetic_dataset(spec)
+    mbs = {
+        name: GroupTable(
+            filenames=meta.filenames[meta.split == sid],
+            y=meta.y[meta.split == sid],
+            place=meta.place[meta.split == sid],
+            split=meta.split[meta.split == sid],
+        )
+        for name, sid in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
+
+    cfg = TrainConfig(
+        dataset="waterbirds", input_dim=1024, adapter_feat_dim=128,
+        tl_method="adapter_reg_seq_alter", epochs=epochs,
+        epochs_feature_learning=max(1, int(epochs * 0.4)),
+        learning_rate=1.0, learning_rate_reg=1.0,
+        lr_decay_rate=0.1,
+        lr_decay_epochs=(max(1, int(epochs * 0.9)), max(2, int(epochs * 0.95))),
+        warm_reg=True, add_adapter=True,
+    )
+    grid = dict(
+        lr_list=[1.0, 10.0], bs_list=[512, 1024],
+        bsr_list=[64, 128, 256, 512], lr_multiple=1.0,
+    )
+    flags = {
+        "percell": {},
+        "lr": dict(stack_lr_axis=True),
+        "lrbsr": dict(stack_lr_axis=True, stack_bsr_axis=True),
+    }
+    n_cells = 2 * 2 * 4
+    for mode in modes:
+        root = tempfile.mkdtemp(prefix=f"grid_{mode}_")
+        t0 = time.perf_counter()
+        out = run_sweep(cfg, bundle, [42, 32, 22], result_root=root,
+                        **grid, **flags[mode])
+        dt = time.perf_counter() - t0
+        assert len(out) == n_cells, (mode, len(out))
+        worst = np.mean(
+            [np.mean([r[0][2]["worst_acc"] for r in res])
+             for res in out.values()]
+        )
+        print(
+            f"{mode:8s} {n_cells} cells x 3 seeds x {epochs} ep: "
+            f"{dt:7.1f} s  ({dt / (n_cells * 3 * epochs) * 1e3:6.1f} ms/"
+            f"seed-epoch)  mean-worst {worst:.3f}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

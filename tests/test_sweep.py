@@ -242,6 +242,61 @@ def test_stacked_lr_axis_contrastive(bundle, tmp_path):
         _assert_results_close(results, other, tol=1e-6)
 
 
+def test_stacked_bsr_axis_matches_per_cell_runs(bundle, tmp_path):
+    """bsr-axis grid stacking: cells differing in reg batch size (and lr)
+    trained as padded rows of ONE vmapped program must reproduce the
+    per-cell runs exactly — shorter reg epochs no-op through their padded
+    tail (train/steps.py ``active`` gating) with per-row warmup schedules
+    indexed by each row's real batch count."""
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        balance_val=True, add_adapter=True, warm_reg=True, **BASE,
+    )
+    seeds = [42, 32]
+    lrs = [0.5, 2.0]
+    bsrs = [8, 32]
+    plain = run_sweep(
+        cfg, bundle, seeds, lr_list=lrs, bsr_list=bsrs, lr_multiple=2.0,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    stacked = run_sweep(
+        cfg, bundle, seeds, lr_list=lrs, bsr_list=bsrs, lr_multiple=2.0,
+        result_root=str(tmp_path / "stacked"), use_vmap=True,
+        stack_lr_axis=True, stack_bsr_axis=True,
+    )
+    assert len(plain) == 4
+    assert {os.path.basename(p) for p in plain} == {
+        os.path.basename(p) for p in stacked
+    }
+    for path, results in plain.items():
+        other = stacked[str(tmp_path / "stacked" / os.path.basename(path))]
+        _assert_results_close(results, other, tol=1e-6)
+        with open(path) as f, open(
+            str(tmp_path / "stacked" / os.path.basename(path))
+        ) as g:
+            assert f.read() == g.read()
+
+
+def test_stacked_bsr_axis_interleaved_reg(bundle, tmp_path):
+    """The adapter_reg interleave method (train + reg pass every epoch)
+    stacks its bsr axis too, without lr stacking."""
+    cfg = TrainConfig(tl_method="adapter_reg", epochs=3, **BASE)
+    seeds = [42]
+    bsrs = [8, 32]
+    plain = run_sweep(
+        cfg, bundle, seeds, bsr_list=bsrs,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    stacked = run_sweep(
+        cfg, bundle, seeds, bsr_list=bsrs,
+        result_root=str(tmp_path / "stacked"), use_vmap=True,
+        stack_bsr_axis=True,
+    )
+    for path, results in plain.items():
+        other = stacked[str(tmp_path / "stacked" / os.path.basename(path))]
+        _assert_results_close(results, other, tol=1e-6)
+
+
 def test_sweep_resume_skips_completed_cells(bundle, tmp_path):
     """skip_existing: a re-run of an interrupted grid retrains only the
     missing cells (the reference loses the whole sweep to one crash)."""
