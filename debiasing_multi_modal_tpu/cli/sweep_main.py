@@ -34,6 +34,11 @@ def extend_parser(p):
                         "methods): shorter reg epochs pad and no-op, so the "
                         "whole lr x bsr grid per train batch size is one "
                         "vmapped program")
+    p.add_argument("--stack_bs_axis", action="store_true",
+                   help="additionally stack the --bs_list axis: train "
+                        "epochs pad per row too, so the ENTIRE grid is ONE "
+                        "vmapped program (requires the inner axes stacked "
+                        "or singleton)")
     p.add_argument("--seed_mesh", action="store_true",
                    help="shard each cell's seed axis across all devices "
                         "(len(seeds) must divide the device count)")
@@ -73,10 +78,11 @@ def main(args):
 
         mesh = make_mesh(axis_names=("data",))
 
-    if (args.stack_lr_axis or args.stack_bsr_axis) and args.no_vmap:
+    if (args.stack_lr_axis or args.stack_bsr_axis or args.stack_bs_axis) \
+            and args.no_vmap:
         raise SystemExit(
-            "--stack_lr_axis/--stack_bsr_axis require the vmapped path; "
-            "drop --no_vmap"
+            "--stack_lr_axis/--stack_bsr_axis/--stack_bs_axis require the "
+            "vmapped path; drop --no_vmap"
         )
     out = run_sweep(
         cfg,
@@ -92,6 +98,7 @@ def main(args):
         verbose=True,
         stack_lr_axis=args.stack_lr_axis,
         stack_bsr_axis=args.stack_bsr_axis,
+        stack_bs_axis=args.stack_bs_axis,
         skip_existing=args.skip_existing,
     )
     for path in out:

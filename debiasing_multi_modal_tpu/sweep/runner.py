@@ -118,6 +118,7 @@ def run_sweep(
     mesh=None,
     stack_lr_axis: bool = False,
     stack_bsr_axis: bool = False,
+    stack_bs_axis: bool = False,
     skip_existing: bool = False,
 ) -> Dict[str, list]:
     """Nested lr x bs x bsr grid, each cell trained over all seeds.
@@ -143,7 +144,14 @@ def run_sweep(
     no-op through the tail (train_seeds_vmapped ``cell_grid``), so the
     whole (lr x bsr) grid at one train batch size is ONE program — e.g. the
     reference's 16-cell Waterbirds grid (run_final_main_iteration_wb.sh:
-    22-24) becomes two programs, one per bs."""
+    22-24) becomes two programs, one per bs.
+
+    ``stack_bs_axis`` collapses the last loop: train-epoch plans pad
+    per-row exactly like reg plans, so the ENTIRE grid — every
+    (lr x bsr x bs) cell x every seed — is ONE vmapped program.  It
+    requires the inner axes to be stacked or trivial (lr stacked or
+    singleton; bsr stacked, singleton, or inert because the method has no
+    reg phase — inert bsr cells stack as duplicate rows)."""
 
     def _cell_cfg(cfg, lr):
         if lr is None:
@@ -172,6 +180,20 @@ def run_sweep(
         and all(b is not None for b in bsr_values)
         and (stack or len(lr_values) == 1)
     )
+    bs_values = list(bs_list)
+    stack_bs = (
+        stack_bs_axis
+        and use_vmap
+        and len(bs_values) > 1
+        and all(b is not None for b in bs_values)
+        and (stack or len(lr_values) == 1)
+        and (
+            stack_bsr
+            or len(bsr_values) == 1
+            or (not base_cfg.is_reg_method
+                and all(b is not None for b in bsr_values))
+        )
+    )
     all_results = {}
 
     def _run_stacked(cfg0, grid_cfgs):
@@ -199,8 +221,18 @@ def run_sweep(
             aggregate_csv(results, path)
             all_results[path] = results
 
+    if stack_bs:
+        grid_cfgs = []
+        for bs in bs_values:
+            cfg0 = base_cfg.replace(batch_size=bs)
+            for bsr in bsr_values:
+                c = cfg0 if bsr is None else cfg0.replace(batch_size_reg=bsr)
+                grid_cfgs.extend(_cell_cfg(c, lr) for lr in lr_values)
+        _run_stacked(base_cfg, grid_cfgs)
+        return all_results
+
     if stack_bsr:
-        for bs in bs_list:
+        for bs in bs_values:
             cfg0 = base_cfg if bs is None else base_cfg.replace(batch_size=bs)
             grid_cfgs = [
                 _cell_cfg(cfg0.replace(batch_size_reg=bsr), lr)
@@ -210,7 +242,7 @@ def run_sweep(
             _run_stacked(cfg0, grid_cfgs)
         return all_results
 
-    for bs in bs_list:
+    for bs in bs_values:
         for bsr in bsr_values:
             cfg0 = base_cfg
             if bs is not None:

@@ -145,14 +145,14 @@ def train_seeds_vmapped(
     per epoch.  Results return in row order (lr-major).
 
     ``cell_grid`` generalizes lr_grid to full per-cell configs that may also
-    differ in ``batch_size_reg`` (the reference's bsr grid axis,
-    run_final_main_iteration_wb.sh:22-24): reg-epoch plans pad to the
+    differ in ``batch_size_reg`` and ``batch_size`` (the reference's bsr/bs
+    grid axes, run_final_main_iteration_wb.sh:22-24): epoch plans pad to the
     longest row's (num_batches, batch_size) and shorter rows no-op through
-    their padded tail (``active`` gating in train/steps.py), so every
-    (lr x bsr) cell at one train batch size trains in ONE program.  Cells
-    must agree with ``cfg`` in everything except learning_rate,
-    learning_rate_reg, and batch_size_reg.  Results return in cell order
-    (cells outer, seeds inner).
+    their padded tail (``active`` gating in train/steps.py), so the ENTIRE
+    (lr x bsr x bs) grid trains in ONE program.  Cells must agree with
+    ``cfg`` in everything except learning_rate, learning_rate_reg,
+    batch_size_reg, and batch_size.  Results return in cell order (cells
+    outer, seeds inner).
     """
     if cell_grid is not None and lr_grid is not None:
         raise ValueError("pass either lr_grid or cell_grid, not both")
@@ -167,10 +167,12 @@ def train_seeds_vmapped(
                 learning_rate=cfg.learning_rate,
                 learning_rate_reg=cfg.learning_rate_reg,
                 batch_size_reg=cfg.batch_size_reg,
+                batch_size=cfg.batch_size,
             ) != cfg:
                 raise ValueError(
                     "cell_grid cells may differ from the base config only in "
-                    "learning_rate / learning_rate_reg / batch_size_reg"
+                    "learning_rate / learning_rate_reg / batch_size_reg / "
+                    "batch_size"
                 )
         row_cfgs = [rc for rc in cell_grid for _ in seeds]
         seeds = [s for _ in cell_grid for s in seeds]
@@ -240,11 +242,18 @@ def train_seeds_vmapped(
     else:
         reg_split, val_split = None, bundle.val
     # eval batching is semantics-free (running BN stats, per-row logits,
-    # exact group counts) — bsr-stacked rows share the largest cell's
+    # exact group counts) — grid-stacked rows share the largest cell's
     eval_bs = (
         (max(rc.batch_size_reg for rc in row_cfgs)
          if row_cfgs is not None else cfg.batch_size_reg)
         if cfg.is_reg_method
+        else (max(rc.batch_size for rc in row_cfgs)
+              if row_cfgs is not None else cfg.batch_size)
+    )
+    # train batch size per row when bs-stacked (list triggers per-row plans)
+    train_bs = (
+        [rc.batch_size for rc in row_cfgs]
+        if row_cfgs is not None
         else cfg.batch_size
     )
 
@@ -374,8 +383,8 @@ def train_seeds_vmapped(
             ]
 
         if cfg.tl_method == "adapter_reg":
-            plans = make_plans(len(bundle.train), cfg.batch_size)
-            lrs = batch_lrs(epoch, plans[0].num_batches, 1)
+            plans = make_plans(len(bundle.train), train_bs)
+            lrs = batch_lrs_plans(epoch, plans, 1)
             state, statsS = vm_train(
                 single, state, bundle.train, train_labels, text_class, plans,
                 lrs, full_mask,
@@ -515,14 +524,16 @@ def train_seeds_vmapped(
                 if cfg.ca_ce_update > 0:
                     ce_orders = [
                         rngs[i].permutation(len(bundle.train))[
-                            : cfg.ca_ce_update * cfg.batch_size
+                            : cfg.ca_ce_update
+                            * (train_bs[i] if isinstance(train_bs, list)
+                               else train_bs)
                         ]
                         for i in range(S)
                     ]
                 plans = make_plans(
-                    len(bundle.train), cfg.batch_size, orders=ce_orders
+                    len(bundle.train), train_bs, orders=ce_orders
                 )
-                lrs = batch_lrs(epoch, plans[0].num_batches, 1)
+                lrs = batch_lrs_plans(epoch, plans, 1)
                 state, statsS = vm_train(
                     single, state, bundle.train, train_labels, text_class,
                     plans, lrs, full_mask,
@@ -544,8 +555,8 @@ def train_seeds_vmapped(
                     weighted_sample_indices(sample_weights, len(bundle.train), rngs[i])
                     for i in range(S)
                 ]
-            plans = make_plans(len(bundle.train), cfg.batch_size, orders=orders)
-            lrs = batch_lrs(epoch, plans[0].num_batches, 1)
+            plans = make_plans(len(bundle.train), train_bs, orders=orders)
+            lrs = batch_lrs_plans(epoch, plans, 1)
             state, statsS = vm_train(
                 single, state, bundle.train, train_labels, text_class, plans,
                 lrs, full_mask,

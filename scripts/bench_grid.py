@@ -9,7 +9,8 @@ the grid-stacking numbers in docs/DESIGN.md §4.
 
     python scripts/bench_grid.py [epochs] [mode...]
 
-modes: percell | lr | lrbsr   (default: lr lrbsr)
+modes: percell | lr | lrbsr | all   (default: lr lrbsr all)
+("all" stacks every axis: the whole 16-cell grid is ONE program)
 """
 
 import os
@@ -25,7 +26,7 @@ import numpy as np
 
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    modes = sys.argv[2:] or ["lr", "lrbsr"]
+    modes = sys.argv[2:] or ["lr", "lrbsr", "all"]
 
     from debiasing_multi_modal_tpu.data.groups import GroupTable
     from debiasing_multi_modal_tpu.utils.compilation_cache import (
@@ -70,6 +71,8 @@ def main():
         "percell": {},
         "lr": dict(stack_lr_axis=True),
         "lrbsr": dict(stack_lr_axis=True, stack_bsr_axis=True),
+        "all": dict(stack_lr_axis=True, stack_bsr_axis=True,
+                    stack_bs_axis=True),
     }
     n_cells = 2 * 2 * 4
     for mode in modes:

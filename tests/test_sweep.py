@@ -297,6 +297,56 @@ def test_stacked_bsr_axis_interleaved_reg(bundle, tmp_path):
         _assert_results_close(results, other, tol=1e-6)
 
 
+def test_stacked_full_grid_matches_per_cell_runs(bundle, tmp_path):
+    """The ENTIRE lr x bsr x bs grid as ONE vmapped program: train epochs
+    pad per row exactly like reg epochs, so all 8 cells x 2 seeds train as
+    16 rows of one program — byte-identical CSVs vs the per-cell path."""
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        balance_val=True, add_adapter=True, warm_reg=True, **BASE,
+    )
+    seeds = [42, 32]
+    grid = dict(lr_list=[0.5, 2.0], bs_list=[16, 48], bsr_list=[8, 32],
+                lr_multiple=2.0)
+    plain = run_sweep(
+        cfg, bundle, seeds, **grid,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    stacked = run_sweep(
+        cfg, bundle, seeds, **grid,
+        result_root=str(tmp_path / "stacked"), use_vmap=True,
+        stack_lr_axis=True, stack_bsr_axis=True, stack_bs_axis=True,
+    )
+    assert len(plain) == 8
+    for path, results in plain.items():
+        name = os.path.basename(path)
+        other = stacked[str(tmp_path / "stacked" / name)]
+        _assert_results_close(results, other, tol=1e-6)
+        with open(path) as f, open(str(tmp_path / "stacked" / name)) as g:
+            assert f.read() == g.read()
+
+
+def test_stacked_bs_axis_no_reg_method(bundle, tmp_path):
+    """bs stacking alone on a method with no reg phase (plain adapter ERM):
+    the bsr axis is inert, so (lr x bs) stacks directly."""
+    cfg = TrainConfig(tl_method="adapter", epochs=3, **BASE)
+    seeds = [42]
+    grid = dict(lr_list=[0.5, 2.0], bs_list=[16, 48])
+    plain = run_sweep(
+        cfg, bundle, seeds, **grid,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    stacked = run_sweep(
+        cfg, bundle, seeds, **grid,
+        result_root=str(tmp_path / "stacked"), use_vmap=True,
+        stack_lr_axis=True, stack_bs_axis=True,
+    )
+    assert len(plain) == 4
+    for path, results in plain.items():
+        other = stacked[str(tmp_path / "stacked" / os.path.basename(path))]
+        _assert_results_close(results, other, tol=1e-6)
+
+
 def test_sweep_resume_skips_completed_cells(bundle, tmp_path):
     """skip_existing: a re-run of an interrupted grid retrains only the
     missing cells (the reference loses the whole sweep to one crash)."""
