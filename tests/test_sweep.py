@@ -347,6 +347,36 @@ def test_stacked_bs_axis_no_reg_method(bundle, tmp_path):
         _assert_results_close(results, other, tol=1e-6)
 
 
+def test_stacked_grid_sharded_over_mesh(bundle, tmp_path):
+    """Grid-stacked rows (cells x seeds) shard over the device mesh exactly
+    like seed rows: the full 8-cell grid x 1 seed fills the 8-device CPU
+    mesh, multiplying the shardable width the reference's per-GPU grid
+    cells (run_multiple/run_final_main_iteration_wb.sh:22-24) cannot."""
+    from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        balance_val=True, add_adapter=True, warm_reg=True, **BASE,
+    )
+    grid = dict(lr_list=[0.5, 2.0], bs_list=[16, 48], bsr_list=[8, 32],
+                lr_multiple=2.0)
+    stack = dict(stack_lr_axis=True, stack_bsr_axis=True, stack_bs_axis=True)
+    plain = run_sweep(
+        cfg, bundle, [42], **grid, **stack,
+        result_root=str(tmp_path / "plain"), use_vmap=True,
+    )
+    mesh = make_mesh(axis_names=("data",))
+    sharded = run_sweep(
+        cfg, bundle, [42], **grid, **stack, mesh=mesh,
+        result_root=str(tmp_path / "sharded"), use_vmap=True,
+    )
+    assert len(plain) == 8
+    for path, results in plain.items():
+        name = os.path.basename(path)
+        _assert_results_close(results, sharded[str(tmp_path / "sharded" / name)],
+                              tol=1e-6)
+
+
 def test_sweep_resume_skips_completed_cells(bundle, tmp_path):
     """skip_existing: a re-run of an interrupted grid retrains only the
     missing cells (the reference loses the whole sweep to one crash)."""
