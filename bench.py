@@ -85,6 +85,14 @@ def main():
         variables = packed_host_init(model)
     else:
         variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    if os.environ.get("BENCH_PARAM_DTYPE", "") == "bf16":
+        # probe knob: all-bf16 weights (vs the fp32-param policy).  Halves
+        # weight HBM traffic; numerics out of policy — measurement only.
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables,
+        )
     text = np.random.default_rng(0).standard_normal(
         (2, model.config.embed_dim)
     ).astype(np.float32)
