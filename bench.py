@@ -26,7 +26,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def wait_for_accelerator():
+    """Bounded-wait guard against a hung device tunnel.
+
+    The axon tunnel's failure modes include a TOTAL hang: ``jax.devices()``
+    blocks forever in the claim leg (no error, no HTTP 500), so a bench run
+    produces zero output and the round records no artifact.  Probe device
+    discovery in a SUBPROCESS with a timeout (the hang is in native code —
+    in-process alarms don't interrupt it) and retry on a bounded budget, so
+    a transiently-down tunnel becomes a wait-and-succeed and a dead one a
+    loud exit instead of a silent infinite hang.
+
+    Skipped when the platform is pinned to host CPU (tests / smoke runs),
+    where there is no tunnel to probe.
+    """
+    import subprocess
+
+    platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+    if platforms.split(",")[0].strip() == "cpu":
+        return
+    attempts = int(os.environ.get("BENCH_TUNNEL_PROBE_ATTEMPTS", "10"))
+    probe_timeout = float(os.environ.get("BENCH_TUNNEL_PROBE_TIMEOUT_S", "120"))
+    retry_sleep = float(os.environ.get("BENCH_TUNNEL_PROBE_SLEEP_S", "60"))
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except subprocess.TimeoutExpired:
+            msg = f"device discovery hung >{probe_timeout:.0f}s (tunnel down?)"
+        except subprocess.CalledProcessError as e:
+            msg = f"device discovery failed (exit {e.returncode})"
+        print(
+            f"bench: {msg} — attempt {i + 1}/{attempts}, retrying in "
+            f"{retry_sleep:.0f}s", file=sys.stderr, flush=True,
+        )
+        if i + 1 < attempts:
+            time.sleep(retry_sleep)
+    sys.exit("bench: accelerator unreachable after retries — no artifact emitted")
+
+
 def main():
+    wait_for_accelerator()
     from debiasing_multi_modal_tpu.extract.runner import ExtractionRunner
     from debiasing_multi_modal_tpu.models import create_clip, init_clip
     from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
