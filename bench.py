@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def wait_for_accelerator():
+def wait_for_accelerator(platforms=None):
     """Bounded-wait guard against a hung device tunnel.
 
     The axon tunnel's failure modes include a TOTAL hang: ``jax.devices()``
@@ -42,9 +42,10 @@ def wait_for_accelerator():
     """
     import subprocess
 
-    platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
-        "JAX_PLATFORMS", ""
-    )
+    if platforms is None:
+        platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+            "JAX_PLATFORMS", ""
+        )
     if platforms.split(",")[0].strip() == "cpu":
         return
     attempts = int(os.environ.get("BENCH_TUNNEL_PROBE_ATTEMPTS", "10"))

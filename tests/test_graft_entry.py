@@ -268,3 +268,40 @@ def test_shard_bundle_contrastive_matches_unsharded():
     for a, b in zip(ref[2]["val"], got[2]["val"]):
         for k in a:
             assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
+
+
+def test_bench_accelerator_guard_skips_on_cpu_pin(monkeypatch):
+    """wait_for_accelerator must be a no-op when the platform is pinned to
+    host CPU (tests / smoke runs) — it must not touch subprocess at all."""
+    import subprocess
+    import bench
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("probe subprocess spawned on a cpu-pinned run")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    bench.wait_for_accelerator()  # conftest pins jax_platforms to "cpu"
+    bench.wait_for_accelerator(platforms="cpu,axon")
+
+
+def test_bench_accelerator_guard_exits_when_probe_hangs(monkeypatch):
+    """A tunnel that hangs device discovery must become a bounded number of
+    probe attempts and a non-zero exit — never a silent infinite hang
+    (DESIGN §7 third failure mode)."""
+    import subprocess
+    import bench
+    import pytest
+
+    calls = []
+
+    def fake_run(cmd, timeout, **k):
+        calls.append(cmd)
+        raise subprocess.TimeoutExpired(cmd=cmd, timeout=timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("BENCH_TUNNEL_PROBE_ATTEMPTS", "3")
+    monkeypatch.setenv("BENCH_TUNNEL_PROBE_TIMEOUT_S", "1")
+    monkeypatch.setenv("BENCH_TUNNEL_PROBE_SLEEP_S", "0")
+    with pytest.raises(SystemExit):
+        bench.wait_for_accelerator(platforms="axon")
+    assert len(calls) == 3
