@@ -53,8 +53,17 @@ def wait_for_accelerator(platforms=None):
     retry_sleep = float(os.environ.get("BENCH_TUNNEL_PROBE_SLEEP_S", "60"))
     for i in range(attempts):
         try:
+            # the site preset is "axon,cpu": an axon init ERROR (vs hang)
+            # silently falls back to CPU devices, so the probe must assert
+            # an accelerator actually came up — otherwise a down tunnel
+            # would pass the guard and bench would emit a meaningless
+            # cpu_smoke artifact in the TPU artifact's place
             subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [
+                    sys.executable, "-c",
+                    "import jax; d = jax.devices(); "
+                    "assert d and d[0].platform != 'cpu', d",
+                ],
                 timeout=probe_timeout, check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
@@ -135,11 +144,15 @@ def main():
     if os.environ.get("BENCH_PARAM_DTYPE", "") == "bf16":
         # probe knob: all-bf16 weights (vs the fp32-param policy).  Halves
         # weight HBM traffic; numerics out of policy — measurement only.
-        variables = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-            variables,
-        )
+        # one jitted program: an eager per-leaf cast would dispatch hundreds
+        # of tiny programs over the tunnel (~10 s compile latency each)
+        variables = jax.jit(
+            lambda v: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                v,
+            )
+        )(variables)
     text = np.random.default_rng(0).standard_normal(
         (2, model.config.embed_dim)
     ).astype(np.float32)

@@ -210,9 +210,19 @@ def run_sweep(
             ]
             if not grid_cfgs:
                 return
+        # mesh sharding needs rows = cells x seeds divisible by the data
+        # axis; a resume-shrunk (or odd-sized) grid may not divide — pad
+        # with duplicates of the last cell (whole cells keep the row
+        # layout) and drop the duplicate rows when slicing, instead of
+        # refusing to run.  Always <= n_data - 1 wasted duplicate cells.
+        run_cfgs = grid_cfgs
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            while (len(run_cfgs) * len(seeds)) % n_data:
+                run_cfgs = run_cfgs + [grid_cfgs[-1]]
         rows = train_seeds_vmapped(
             cfg0, bundle, seeds, verbose=verbose, mesh=mesh,
-            cell_grid=grid_cfgs,
+            cell_grid=run_cfgs,
         )
         n = len(seeds)
         for gi, cfg in enumerate(grid_cfgs):

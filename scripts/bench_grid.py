@@ -28,7 +28,6 @@ def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     modes = sys.argv[2:] or ["lr", "lrbsr", "all"]
 
-    from debiasing_multi_modal_tpu.data.groups import GroupTable
     from debiasing_multi_modal_tpu.utils.compilation_cache import (
         enable_persistent_cache,
     )
@@ -44,12 +43,7 @@ def main():
     spec = SyntheticSpec(dim=1024, n_train=4795, n_val=1199, n_test=5794)
     meta, table, tc, tg, ts = make_synthetic_dataset(spec)
     mbs = {
-        name: GroupTable(
-            filenames=meta.filenames[meta.split == sid],
-            y=meta.y[meta.split == sid],
-            place=meta.place[meta.split == sid],
-            split=meta.split[meta.split == sid],
-        )
+        name: meta.take(np.where(meta.split == sid)[0])
         for name, sid in (("train", 0), ("val", 1), ("test", 2))
     }
     bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)

@@ -414,3 +414,55 @@ def test_sweep_resume_stacks_only_missing_lr_cells(bundle, tmp_path):
     assert set(rerun) == {victim}
     # retrained cell equals the original full-stack run's cell
     _assert_results_close(first[victim], rerun[victim], tol=1e-6)
+
+
+def test_stacked_mesh_resume_pads_to_divisible_rows(bundle, tmp_path):
+    """skip_existing + mesh: a resume whose surviving cell count does not
+    divide the mesh data axis pads the stack with duplicate trailing cells
+    (discarded on slicing) instead of refusing to run — crash-safe resume
+    stays available under --seed_mesh."""
+    from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(tl_method="adapter", epochs=2, **BASE)
+    grid = dict(lr_list=[0.5, 1.0, 2.0, 4.0], stack_lr_axis=True)
+    root = str(tmp_path / "r")
+    mesh = make_mesh(axis_names=("data",))  # 8 virtual devices
+    first = run_sweep(
+        cfg, bundle, [42, 43], **grid, result_root=root, use_vmap=True,
+        mesh=mesh,
+    )
+    assert len(first) == 4
+    # kill 3 of 4 cells: 3 cells x 2 seeds = 6 rows, 6 % 8 != 0
+    victims = sorted(first)[:3]
+    for v in victims:
+        os.remove(v)
+    rerun = run_sweep(
+        cfg, bundle, [42, 43], **grid, result_root=root, use_vmap=True,
+        mesh=mesh, skip_existing=True,
+    )
+    assert set(rerun) == set(victims)
+    for v in victims:
+        _assert_results_close(first[v], rerun[v], tol=1e-6)
+
+
+def test_stacked_mesh_odd_grid_runs_first_time(bundle, tmp_path):
+    """A fresh stacked grid whose rows don't divide the mesh (3 cells x 1
+    seed over 8 devices) pads and runs rather than raising."""
+    from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+    cfg = TrainConfig(tl_method="adapter", epochs=2, **BASE)
+    grid = dict(lr_list=[0.5, 1.0, 2.0], stack_lr_axis=True)
+    mesh = make_mesh(axis_names=("data",))
+    plain = run_sweep(
+        cfg, bundle, [42], **grid, result_root=str(tmp_path / "p"),
+        use_vmap=True,
+    )
+    sharded = run_sweep(
+        cfg, bundle, [42], **grid, result_root=str(tmp_path / "s"),
+        use_vmap=True, mesh=mesh,
+    )
+    assert len(plain) == len(sharded) == 3
+    for path, results in plain.items():
+        name = os.path.basename(path)
+        _assert_results_close(results, sharded[str(tmp_path / "s" / name)],
+                              tol=1e-6)
