@@ -191,3 +191,26 @@ def epoch_plan(
             assert rng is not None, "shuffle requires an rng"
             order = rng.permutation(n)
     return make_batch_plan(np.asarray(order), batch_size)
+
+
+def cached_eval_plan(cache, split, batch_size, put):
+    """Identity-guarded eval-plan cache: ``(split, batch_size)`` -> staged
+    ``(indices, mask)`` device arrays built by ``put``.
+
+    Eval plans are rebuilt (and re-uploaded over the tunnel) every epoch
+    without this; the cache keys on ``id(split)`` but RETAINS the split
+    object in the entry and verifies identity on hit, so a recycled id()
+    after garbage collection can never alias to a wrong-length plan (the
+    same guard utils/staging.DeviceCache applies to host arrays).  Shared
+    by the sequential loop (train/loop.py ``_evaluate``) and the vmapped
+    sweep (sweep/vmap_loop.py ``vm_eval``).  ``cache=None`` disables
+    caching (plans are rebuilt per call)."""
+    key = (id(split), batch_size)
+    entry = None if cache is None else cache.get(key)
+    if entry is not None and entry[0] is split:
+        return entry[1]
+    plan = epoch_plan(len(split), batch_size, shuffle=False)
+    staged = (put(plan.indices), put(plan.mask))
+    if cache is not None:
+        cache[key] = (split, staged)
+    return staged

@@ -17,11 +17,14 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from debiasing_multi_modal_tpu.data.samplers import (
+    cached_eval_plan,
     balanced_subset_indices,
     epoch_plan,
     resampled_ce_weights,
@@ -83,13 +86,26 @@ def _init_stacked(module, cfg, keys, n_cls, *, init_on_first: bool = False):
     — pass ``init_on_first=True`` for the latter.
     """
 
+    return _init_stacked_jit(
+        module, keys, cfg.input_dim, n_cls, init_on_first
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("module", "input_dim", "n_cls", "init_on_first")
+)
+def _init_stacked_jit(module, keys, input_dim, n_cls, init_on_first):
+    # module-level jit keyed on what init ACTUALLY uses (input_dim, not the
+    # whole TrainConfig): per-cell sweep calls across a 16-cell grid share
+    # ONE trace/compile instead of re-tracing per cfg (the jit-cache rule
+    # train/steps.py:197-200 documents)
     def one(k):
         a, b = jax.random.split(k)
         init_key, k_next = (a, b) if init_on_first else (b, a)
-        p, s = _init_variables(module, cfg, init_key, n_cls)
+        p, s = _init_variables(module, input_dim, init_key, n_cls)
         return k_next, p, s
 
-    return jax.jit(jax.vmap(one))(keys)
+    return jax.vmap(one)(keys)
 
 
 def _pad_stack_plans(plans):
@@ -195,9 +211,15 @@ def train_seeds_vmapped(
         if row_cfgs is None and len(set(nbs)) == 1:
             return epoch_batch_lrs(cfg, epoch, nbs[0], phase)
         out = np.zeros((S, max(nbs)), np.float32)
+        memo = {}  # rows of one grid cell share (cfg, nb) — compute once,
+        # not once per seed (host CPU is 1 core; this runs every epoch)
         for i in range(S):
             rc = row_cfgs[i] if row_cfgs is not None else cfg
-            out[i, : nbs[i]] = epoch_batch_lrs(rc, epoch, nbs[i], phase)
+            mk = (rc, nbs[i])
+            row = memo.get(mk)
+            if row is None:
+                row = memo[mk] = epoch_batch_lrs(rc, epoch, nbs[i], phase)
+            out[i, : nbs[i]] = row
         return out
 
     if mesh is not None:
@@ -288,7 +310,10 @@ def train_seeds_vmapped(
     reg_labels_group = reg_split.group.astype(np.int32) if reg_split is not None else None
 
     text_class, text_group = bundle.text_class, bundle.text_group
-    feat_epochs = cfg.epochs_feature_learning or cfg.epochs
+    feat_epochs = (
+        cfg.epochs if cfg.epochs_feature_learning is None
+        else cfg.epochs_feature_learning
+    )  # 0 is a real value: stage 2 from epoch 1 (reference final_main.py:933)
 
     # Per-seed best bookkeeping: scalar records on host, parameter snapshots
     # ON DEVICE (see _select_rows).  Two stacked snapshot pairs, one per tree
@@ -331,19 +356,7 @@ def train_seeds_vmapped(
         )
 
     def vm_eval(module, paramsS, statsS, split, labels, text):
-        # keyed like loop.py's _evaluate plan_cache: (split identity, batch
-        # size) so a future second eval batch size can't reuse a wrong plan;
-        # the entry retains the split object and verifies identity on hit so
-        # a recycled id() can never alias to a wrong-length plan.
-        key = (id(split), eval_bs)
-        entry = eval_plans.get(key)
-        if entry is not None and entry[0] is split:
-            cached = entry[1]
-        else:
-            plan = epoch_plan(len(split), eval_bs, shuffle=False)
-            cached = (stage(plan.indices), stage(plan.mask))
-            eval_plans[key] = (split, cached)
-        idx, msk = cached
+        idx, msk = cached_eval_plan(eval_plans, split, eval_bs, stage)
 
         return eval_epoch_vmapped(
             module, paramsS, statsS, stage(split.emb), stage(labels),
@@ -399,14 +412,7 @@ def train_seeds_vmapped(
                 full_mask,
             )
             if not group_prompt:
-                from debiasing_multi_modal_tpu.train.steps import EpochStats
-
-                statsS = EpochStats(
-                    statsS.corrects + reg_statsS.corrects,
-                    statsS.counts + reg_statsS.counts,
-                    statsS.loss_sum + reg_statsS.loss_sum,
-                    statsS.n + reg_statsS.n,
-                )
+                statsS = statsS.merge(reg_statsS)
             train_statsS, train_weighted = statsS, False
         elif cfg.is_two_phase and epoch > feat_epochs:
             if epoch == feat_epochs + 1:
@@ -636,19 +642,9 @@ def train_seeds_vmapped(
         text = bundle.text_class if target == "class" else bundle.text_spurious
         labels = bundle.test.labels(target)
         if cfg.tl_method == "linear_probing":
-            from debiasing_multi_modal_tpu.models.adapter import zero_shot_logits
+            from debiasing_multi_modal_tpu.train.loop import zero_shot_results
 
-            logits = np.asarray(
-                zero_shot_logits(
-                    bundle.test.emb[: len(labels)], jnp.asarray(text),
-                    cfg.zs_temperature,
-                )
-            )
-            correct = logits.argmax(1) == labels
-            corr = np.bincount(bundle.test.group, weights=correct, minlength=bundle.n_groups)
-            cnt = np.bincount(bundle.test.group, minlength=bundle.n_groups)
-            one = results_from_counts(corr, cnt, bundle.n_places, bundle.train_group_ratio)
-            return [one] * S
+            return [zero_shot_results(bundle, target, cfg.zs_temperature)] * S
         # vmap per module kind (single vs MultipleAdapter best snapshots)
         out: List[Optional[Dict[str, float]]] = [None] * S
         for kind in (False, True):
@@ -678,7 +674,8 @@ def train_seeds_vmapped(
     results = []
 
     for i in range(S):
-        be = int(best["epoch"][i]) if best["epoch"][i] > 0 else cfg.epochs
+        # never-improved rows were already forced to cfg.epochs above
+        be = int(best["epoch"][i])
         results.append(
             (
                 (

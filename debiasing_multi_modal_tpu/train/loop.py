@@ -41,6 +41,7 @@ import numpy as np
 
 from debiasing_multi_modal_tpu.data.groups import GroupTable
 from debiasing_multi_modal_tpu.data.samplers import (
+    cached_eval_plan,
     balanced_subset_indices,
     epoch_plan,
     resampled_ce_weights,
@@ -235,18 +236,7 @@ def _evaluate(
     """``stage``/``plan_cache`` let a driver reuse device-resident constants
     across epochs (utils/staging.DeviceCache) — per-epoch re-uploads over the
     remote-TPU tunnel were measured to dominate wall-clock (DESIGN.md §4)."""
-    # Key on id() but retain the split object in the entry and verify identity
-    # on hit: a recycled id() after garbage collection can never alias to a
-    # wrong-length plan (same guard DeviceCache applies to host arrays).
-    key = (id(split), batch_size)
-    entry = None if plan_cache is None else plan_cache.get(key)
-    if entry is not None and entry[0] is split:
-        cached = entry[1]
-    else:
-        plan = epoch_plan(len(split), batch_size, shuffle=False)
-        cached = (jnp.asarray(plan.indices), jnp.asarray(plan.mask))
-        if plan_cache is not None:
-            plan_cache[key] = (split, cached)
+    cached = cached_eval_plan(plan_cache, split, batch_size, jnp.asarray)
     stats = eval_epoch(
         module,
         state_params,
@@ -260,6 +250,30 @@ def _evaluate(
         n_groups=bundle.n_groups,
     )
     return _stats_to_results(stats, bundle, weighted=True)
+
+
+def zero_shot_results(bundle: DataBundle, target: str,
+                      zs_temperature: float) -> Dict[str, float]:
+    """Raw-embedding zero-shot group accuracies on the test split — the pure
+    CLIP baseline the reference's linear_probing branch probes
+    (final_main.py:757).  Slices to the logical row count (shard_bundle may
+    have padded the embedding block).  Shared by the sequential loop and the
+    vmapped sweep."""
+    text = bundle.text_class if target == "class" else bundle.text_spurious
+    labels = bundle.test.labels(target)
+    logits = np.asarray(
+        zero_shot_logits(
+            bundle.test.emb[: len(labels)], jnp.asarray(text), zs_temperature
+        )
+    )
+    correct = logits.argmax(1) == labels
+    corr = np.bincount(
+        bundle.test.group, weights=correct, minlength=bundle.n_groups
+    )
+    cnt = np.bincount(bundle.test.group, minlength=bundle.n_groups)
+    return results_from_counts(
+        corr, cnt, bundle.n_places, bundle.train_group_ratio
+    )
 
 
 def make_classifier(cfg: TrainConfig):
@@ -276,9 +290,12 @@ def make_multiple_classifier(cfg: TrainConfig):
     )
 
 
-def _init_variables(module, cfg: TrainConfig, rng_key, text_cols: int):
-    dummy = jnp.zeros((2, cfg.input_dim), jnp.float32)
-    text = jnp.zeros((cfg.input_dim, text_cols), jnp.float32)
+def _init_variables(module, input_dim: int, rng_key, text_cols: int):
+    # takes input_dim (not the whole TrainConfig): callers that jit around
+    # this must key their trace cache on what init actually uses, so grid
+    # cells differing only in lr/bs share one compiled init program
+    dummy = jnp.zeros((2, input_dim), jnp.float32)
+    text = jnp.zeros((input_dim, text_cols), jnp.float32)
     variables = module.init(rng_key, dummy, text, mask=jnp.ones(2, bool), train=True)
     return variables["params"], variables.get("batch_stats", {})
 
@@ -327,7 +344,7 @@ def train_all_epochs(
     # ----- model/optimizer
     single = make_classifier(cfg)
     key, init_key = jax.random.split(key)
-    params, batch_stats = _init_variables(single, cfg, init_key, cfg.n_cls)
+    params, batch_stats = _init_variables(single, cfg.input_dim, init_key, cfg.n_cls)
     state = init_train_state(params, batch_stats)
     full_mask = ones_mask(params)
 
@@ -374,7 +391,10 @@ def train_all_epochs(
         )
         log(f"contrastive rows: {contrastive_rows.shape}")
 
-    feat_epochs = cfg.epochs_feature_learning or cfg.epochs
+    feat_epochs = (
+        cfg.epochs if cfg.epochs_feature_learning is None
+        else cfg.epochs_feature_learning
+    )  # 0 is a real value: stage 2 from epoch 1 (reference final_main.py:933)
     start_epoch = 1
 
     # ----- resume from the latest checkpoint (aux subsystem §5.4)
@@ -464,15 +484,7 @@ def train_all_epochs(
                 reg_bs, 1, epoch, reg_order, full_mask,
             )
             if not group_prompt:
-                # the reference's meters also accumulate the class-prompt reg
-                # pass (train_reg_one_epoch updates metrics iff use_group is
-                # False, final_main.py:536,551)
-                stats = EpochStats(
-                    stats.corrects + reg_stats.corrects,
-                    stats.counts + reg_stats.counts,
-                    stats.loss_sum + reg_stats.loss_sum,
-                    stats.n + reg_stats.n,
-                )
+                stats = stats.merge(reg_stats)
             train_res = _stats_to_results(stats, bundle, weighted=False)
         elif cfg.is_two_phase and epoch > feat_epochs:
             # ---------------- stage switch
@@ -487,7 +499,7 @@ def train_all_epochs(
                     log("Stage 2) New adapter for balanced text prompts")
                     key_new, key = jax.random.split(key)
                     ma_params, ma_stats = _init_variables(
-                        multiple, cfg, key_new, cfg.n_cls
+                        multiple, cfg.input_dim, key_new, cfg.n_cls
                     )
                     # device arrays are immutable: referencing the old
                     # branch IS a snapshot — no host round trip needed
@@ -696,22 +708,7 @@ def train_all_epochs(
         text = bundle.text_class if target == "class" else bundle.text_spurious
         labels = bundle.test.labels(target)
         if cfg.tl_method == "linear_probing":
-            # raw-embedding zero shot (the pure CLIP baseline, ~39% worst);
-            # slice to the logical row count (shard_bundle may have padded)
-            logits = np.asarray(
-                zero_shot_logits(
-                    bundle.test.emb[: len(labels)], jnp.asarray(text),
-                    cfg.zs_temperature,
-                )
-            )
-            correct = logits.argmax(1) == labels
-            corr = np.bincount(
-                bundle.test.group, weights=correct, minlength=bundle.n_groups
-            )
-            cnt = np.bincount(bundle.test.group, minlength=bundle.n_groups)
-            return results_from_counts(
-                corr, cnt, bundle.n_places, bundle.train_group_ratio
-            )
+            return zero_shot_results(bundle, target, cfg.zs_temperature)
         return _evaluate(
             best_module, best_params, best_stats, bundle.test, labels, text,
             eval_bs, bundle,

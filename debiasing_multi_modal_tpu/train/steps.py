@@ -78,6 +78,17 @@ class EpochStats(NamedTuple):
     loss_sum: jax.Array  # sum(loss * n_valid)
     n: jax.Array  # total valid examples
 
+    def merge(self, other: "EpochStats") -> "EpochStats":
+        """Field-wise accumulation (the reference's meters accumulate both
+        the train and the class-prompt reg pass, final_main.py:536,551);
+        shared by the sequential loop and the vmapped sweep."""
+        return EpochStats(
+            self.corrects + other.corrects,
+            self.counts + other.counts,
+            self.loss_sum + other.loss_sum,
+            self.n + other.n,
+        )
+
 
 def _train_epoch_impl(
     module,

@@ -190,3 +190,28 @@ def test_contrastive_adapter_ce_update_modes(bundle):
         )
         assert len(hist["cl_loss"]) == 2
         assert set(te) >= {"worst_acc", "mean_acc"}
+
+
+def test_feature_learning_zero_means_stage2_from_epoch_one(bundle):
+    """epochs_feature_learning=0 is a REAL value, not a falsy None: the
+    reference's stage switch is `epoch <= opt.epochs_feature_learning`
+    (final_main.py:933), so 0 puts every epoch in the reg phase.  A `cfg or`
+    fallback silently trained ALL epochs as plain ERM instead."""
+    from debiasing_multi_modal_tpu.sweep.runner import run_seeds
+
+    common = dict(tl_method="adapter_reg_seq", epochs=6, balance_val=True,
+                  **BASE)
+    all_reg = TrainConfig(epochs_feature_learning=0, **common)
+    (_, _, te0), _, hist0 = train_all_epochs(all_reg, bundle, verbose=False)
+    # phase 1 never runs: trajectory must differ from the all-phase-1 run
+    all_erm = TrainConfig(epochs_feature_learning=6, **common)
+    (_, _, te6), _, hist6 = train_all_epochs(all_erm, bundle, verbose=False)
+    v0 = [h["mean_acc"] for h in hist0["val"]]
+    v6 = [h["mean_acc"] for h in hist6["val"]]
+    assert v0 != v6, "feat=0 trained identically to feat=epochs (falsy-zero)"
+    # sweep-equivalence: vmapped honors the same semantics
+    seq = run_seeds(all_reg, bundle, [42], use_vmap=False)
+    vm = run_seeds(all_reg, bundle, [42], use_vmap=True)
+    for a, b in zip(seq[0][0], vm[0][0]):
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-5, (k, a, b)
