@@ -308,6 +308,16 @@ def train_seeds_vmapped(
     test_labels_cls = bundle.test.labels("class")
     reg_labels_target = reg_split.labels(cfg.train_target) if reg_split is not None else None
     reg_labels_group = reg_split.group.astype(np.int32) if reg_split is not None else None
+    if (
+        reg_labels_group is not None
+        and int(reg_labels_group.max()) >= bundle.text_group.shape[1]
+    ):
+        # silent-clamp guard, mirroring train/loop.py: group labels gather
+        # into text_group's columns under jit
+        raise ValueError(
+            f"group labels reach {int(reg_labels_group.max())} but the group "
+            f"text matrix has only {bundle.text_group.shape[1]} columns"
+        )
 
     text_class, text_group = bundle.text_class, bundle.text_group
     feat_epochs = (

@@ -92,6 +92,11 @@ class TrainConfig:
     def __post_init__(self):
         if self.tl_method not in TL_METHODS:
             raise ValueError(f"unknown tl_method {self.tl_method!r}")
+        if self.epochs < 1:
+            # epochs=0 would leave best-model bookkeeping with no history
+            # row to read (the reference's range(1, epochs+1) silently does
+            # nothing and then crashes saving results)
+            raise ValueError("epochs must be >= 1")
         if self.tl_method == "adapter":
             assert not self.add_adapter and not self.balance_val, (
                 "plain adapter excludes add_adapter/balance_val (parse_option parity)"

@@ -4,8 +4,10 @@ Parity surface: reference ``train_all_epochs`` (final_main.py:805-1128) and
 its epoch functions —
 
 - phase 1 "feature learning": ERM on the train split with class prompts
-  (``train_one_epoch``, :426-496), optionally on a zero-shot-failure
-  resampled loader (``--resample_ce``, :868-884).
+  (``train_one_epoch``, :426-496).  ``--resample_ce`` trains on a zero-shot-
+  failure resampled order here; the reference BUILDS that loader (:868-884)
+  but never passes it to any epoch function — its flag only renames the
+  results file (PARITY deviation 11).
 - ``adapter_reg``: every epoch interleaves the train loader (class prompts)
   and the reg loader (group or class prompts) in one optimizer
   (``train_reg_one_epoch``, :498-569).
@@ -151,8 +153,6 @@ def shard_bundle(bundle: "DataBundle", mesh) -> "DataBundle":
     Split sizes need not divide the mesh: gathers inside jit handle uneven
     shards.  Pass the result anywhere a bundle is accepted (train_all_epochs,
     train_seeds_vmapped)."""
-    import dataclasses as _dc
-
     from debiasing_multi_modal_tpu.parallel.mesh import batch_sharding, pad_to_multiple
 
     sharding = batch_sharding(mesh)
@@ -168,9 +168,9 @@ def shard_bundle(bundle: "DataBundle", mesh) -> "DataBundle":
             emb = jnp.concatenate(
                 [emb, jnp.zeros((padded - n, emb.shape[1]), emb.dtype)]
             )
-        return _dc.replace(split, emb=jax.device_put(emb, sharding))
+        return dataclasses.replace(split, emb=jax.device_put(emb, sharding))
 
-    return _dc.replace(
+    return dataclasses.replace(
         bundle,
         train=place(bundle.train),
         val=place(bundle.val),
@@ -365,6 +365,16 @@ def train_all_epochs(
     test_labels_cls = bundle.test.labels("class")
     reg_labels_target = reg_split.labels(cfg.train_target) if reg_split is not None else None
     reg_labels_group = reg_split.group.astype(np.int32) if reg_split is not None else None
+    if (
+        reg_labels_group is not None
+        and int(reg_labels_group.max()) >= bundle.text_group.shape[1]
+    ):
+        # same silent-clamp guard for the group-prompt reg passes: group
+        # labels gather into text_group's columns under jit
+        raise ValueError(
+            f"group labels reach {int(reg_labels_group.max())} but the group "
+            f"text matrix has only {bundle.text_group.shape[1]} columns"
+        )
 
     text_class = bundle.text_class
     text_group = bundle.text_group
@@ -602,7 +612,10 @@ def train_all_epochs(
             else:
                 # pure SupCon: train metrics via the zero-shot head on the
                 # train split (the CL epoch reports loss only; group
-                # accuracy comes from validation passes)
+                # accuracy comes from validation passes).  NOTE the Train
+                # slot consequently carries weighted_mean_acc for this mode
+                # only (_evaluate reports weighted=True) — the vmapped sweep
+                # matches (vmap_loop.py train_weighted=True)
                 train_res = _evaluate(
                     single, state.params, state.batch_stats, bundle.train,
                     train_labels, text_class, cfg.batch_size, bundle,
@@ -651,7 +664,9 @@ def train_all_epochs(
             )
 
         if checkpoint_dir and (
-            epoch % checkpoint_every == 0 or epoch == cfg.epochs
+            # checkpoint_every <= 0 means final-epoch-only checkpoints
+            (checkpoint_every > 0 and epoch % checkpoint_every == 0)
+            or epoch == cfg.epochs
         ):
             from debiasing_multi_modal_tpu.train import checkpoint as ckpt
 
@@ -711,7 +726,7 @@ def train_all_epochs(
             return zero_shot_results(bundle, target, cfg.zs_temperature)
         return _evaluate(
             best_module, best_params, best_stats, bundle.test, labels, text,
-            eval_bs, bundle,
+            eval_bs, bundle, stage=stage, plan_cache=plan_cache,
         )
 
     zs_class = zs_eval("class")

@@ -333,10 +333,14 @@ def test_celeba_headline_method_agrees(celeba_cache):
 def test_resample_ce_path_agrees(cache):
     """The resampled-CE method (reference: WeightedRandomSampler over
     GetResampledWeightsCE slice weights, visualizer_supcon.py:1642-1703,
-    wired at final_main.py:868-884) runs cross-implementation on the same
-    cache.  On this fixture the method only mildly lifts worst-group
-    (calibration: ref 0.290/0.252, ours 0.145/0.214 — overlapping, both in
-    the ERM-to-debiased gap), so the band is statistical-phenotype level."""
+    built at final_main.py:868-884) runs cross-implementation on the same
+    cache.  NOTE the reference builds `resampled_train_loader` but never
+    passes it to a train function — its runs are effectively plain ERM
+    (PARITY deviation 11), while ours actually trains on the resampled
+    order, so only a loose statistical band is meaningful here.  On this
+    fixture the method only mildly lifts worst-group (calibration: ref
+    0.290/0.252, ours 0.145/0.214 — overlapping, both in the
+    ERM-to-debiased gap)."""
     from debiasing_multi_modal_tpu.train.config import TrainConfig
 
     cfg = TrainConfig(

@@ -215,3 +215,40 @@ def test_feature_learning_zero_means_stage2_from_epoch_one(bundle):
     for a, b in zip(seq[0][0], vm[0][0]):
         for k in a:
             assert abs(a[k] - b[k]) < 1e-5, (k, a, b)
+
+
+def test_epochs_zero_rejected():
+    with pytest.raises(ValueError, match="epochs"):
+        TrainConfig(tl_method="adapter", epochs=0, **BASE)
+
+
+def test_checkpoint_every_zero_means_final_only(tmp_path, bundle):
+    """checkpoint_every=0 disables periodic checkpoints (final epoch only)
+    instead of ZeroDivisionError."""
+    cfg = TrainConfig(tl_method="adapter", epochs=3, **BASE)
+    train_all_epochs(
+        cfg, bundle, verbose=False, checkpoint_dir=str(tmp_path),
+        checkpoint_every=0,
+    )
+    import os as _os
+
+    steps = [d for d in _os.listdir(tmp_path) if d.startswith("ep")]
+    assert steps == ["ep00003"], steps
+
+
+def test_group_label_width_guard(bundle):
+    """Group labels exceeding text_group's column count raise instead of
+    silently clamping in the jitted gather (both loops)."""
+    import dataclasses as _dc
+
+    from debiasing_multi_modal_tpu.sweep.runner import run_seeds
+
+    bad = _dc.replace(bundle, text_group=bundle.text_group[:, :2])
+    cfg = TrainConfig(
+        tl_method="adapter_reg_seq_alter", epochs=4, epochs_feature_learning=2,
+        **BASE,
+    )
+    with pytest.raises(ValueError, match="group text matrix"):
+        train_all_epochs(cfg, bad, verbose=False)
+    with pytest.raises(ValueError, match="group text matrix"):
+        run_seeds(cfg, bad, [42], use_vmap=True)
