@@ -5,8 +5,9 @@ Parity surface: reference ``clip_inference.py`` ``main`` (:29-271) —
 - text: encode every templated class / spurious / group prompt, average over
   the template set per phrase, store UN-normalized (:55-84); dump the three
   ``clip_{class,spurious,group}.json`` files (:93-106).
-- images: for each split, encode image batches, compute zero-shot logits
-  against the normalized class weights at temperature 0.02 (:124-137),
+- images: for each split, encode image batches, compute zero-shot logits —
+  normalized image embedding against the UN-normalized class weights (the
+  reference normalizes only the image side, :131-137) at temperature 0.02,
   argmax predictions, minority-group bookkeeping (:142-153), and dump the
   per-image record table ``clip.json`` (:159-271).
 
@@ -42,6 +43,15 @@ from debiasing_multi_modal_tpu.tokenizer import tokenize
 ZS_TEMPERATURE = 0.02  # clip_inference.py:124
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_encode_text(model):
+    # cache the jitted wrapper per model (flax Modules are hashable frozen
+    # dataclasses): a fresh jax.jit(partial(...)) per call would discard the
+    # in-memory trace cache across calls — re-tracing on the 1-core host and
+    # re-dispatching compile-cache lookups over the tunnel
+    return jax.jit(functools.partial(model.apply, method=model.encode_text))
+
+
 def encode_text_prompts(
     model: CLIP,
     variables,
@@ -54,7 +64,7 @@ def encode_text_prompts(
     per-template embeddings before storing, clip_inference.py:63-65).
     """
     out = {}
-    encode = jax.jit(functools.partial(model.apply, method=model.encode_text))
+    encode = _jitted_encode_text(model)
     for kind, prompts in prompt_sets.items():
         tokens = jnp.asarray(tokenize(list(prompts)))
         emb = np.asarray(encode(variables, tokens), np.float32)
@@ -105,7 +115,9 @@ class ExtractionRunner:
         else:
             self._var_shardings = rep
             self.variables = jax.device_put(variables, rep)
-        # [D, C] normalized zero-shot weight matrix (stacked dim=1, :77)
+        # [D, C] UN-normalized zero-shot weight matrix (stacked dim=1, :77 —
+        # the reference's text-normalization lines are commented out,
+        # clip_inference.py:63-65; do NOT add l2 normalization here)
         w = zeroshot_text.T.astype(np.float32)
         self.zs_weights = jax.device_put(jnp.asarray(w), rep)
         self._step = self._build_step()
@@ -281,7 +293,9 @@ def _skip_rows(it, rows: int):
                 f"stream's batch boundary lands at {seen} — re-run with the "
                 "original batch size or delete the shard directory"
             )
-    if seen and seen < rows:
+    if seen < rows:
+        # seen == 0 (an empty stream) is the same defect, not an exemption:
+        # returning here would silently hand back the full stale table
         raise ValueError(
             f"resume misalignment: shards cover {rows} rows but the stream "
             f"only has {seen} — stale shard directory for this input?"
@@ -296,7 +310,14 @@ def _manifest_path(shard_dir: str) -> str:
 
 def _check_shard_meta(shard_dir: str, shard_meta: Optional[Dict]):
     """Refuse to resume into shards produced under different settings."""
+    import json
+
     recorded = _read_manifest(shard_dir).get("meta")
+    if shard_meta is not None:
+        # canonicalize through JSON: the manifest copy went through
+        # json.dump (tuples -> lists, int keys -> str), so a JSON-lossy
+        # caller meta must be compared in the same representation
+        shard_meta = json.loads(json.dumps(shard_meta))
     if recorded is not None and shard_meta is not None and recorded != shard_meta:
         raise ValueError(
             f"shard directory {shard_dir!r} was produced with different "

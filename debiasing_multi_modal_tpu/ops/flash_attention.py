@@ -175,7 +175,7 @@ def _heads_per_cell(
 
 
 def _attn_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, q_len, causal,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, causal,
     block_kv,
 ):
     """Forward that also emits the row logsumexp (training residual).
@@ -240,7 +240,7 @@ def _attn_fwd_kernel(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, kv_len, q_len, causal, block_kv,
+    *, scale, kv_len, causal, block_kv,
 ):
     """dQ for one (packed-heads, q-block) cell, streaming kv blocks.
 
@@ -294,7 +294,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, kv_len, q_len, causal, block_q,
+    *, scale, kv_len, causal, block_q,
 ):
     """dK/dV for one (packed-heads, kv-block) cell, streaming q blocks.
 
@@ -383,7 +383,7 @@ def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret,
     grid = (bh // g, sq_pad // block_q)
     out, lse = pl.pallas_call(
         functools.partial(
-            _attn_fwd_kernel, scale=scale, kv_len=skv, q_len=sq, causal=causal,
+            _attn_fwd_kernel, scale=scale, kv_len=skv, causal=causal,
             block_kv=block_kv,
         ),
         grid=grid,
@@ -437,13 +437,10 @@ def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
     )
 
     bh = qm.shape[0]
-    if g is not None and (g <= 0 or bh % g):
-        raise ValueError(
-            f"heads_per_cell={g} must be positive and divide the merged "
-            f"batch*head dim {bh}"
-        )
+    # g was already validated in _flash_fwd_padded (the custom-VJP forward
+    # always runs first with the same bh)
     g = g or _heads_per_cell(bh, max(skv_pad, sq_pad), d, block_q, block_kv)
-    kw = dict(scale=scale, kv_len=skv, q_len=sq, causal=causal)
+    kw = dict(scale=scale, kv_len=skv, causal=causal)
 
     dqm = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_kv=block_kv, **kw),
@@ -526,7 +523,10 @@ def flash_attention(
     tensor either — encoder fine-tuning works at context lengths where the
     XLA backward cannot exist.
     """
-    assert mask is None, "additive masks use the XLA path"
+    if mask is not None:
+        # a stripped assert (python -O) would silently DROP the mask —
+        # raise unconditionally instead
+        raise ValueError("additive masks use the XLA path")
     auto_q, auto_kv = _pick_blocks(q.shape[1], k.shape[1])
     return _flash(
         q, k, v, causal, interpret, block_q or auto_q, block_kv or auto_kv,

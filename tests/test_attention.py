@@ -286,3 +286,19 @@ def test_flash_whole_block_window_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_flash_rejects_additive_mask_loudly():
+    """Masked attention must use the XLA path; the Pallas entry raises an
+    unconditional ValueError (an assert would be stripped under python -O
+    and silently DROP the mask)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from debiasing_multi_modal_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.zeros((1, 8, 2, 4), jnp.float32)
+    with pytest.raises(ValueError, match="XLA path"):
+        flash_attention(q, q, q, mask=np.zeros((8, 8), np.float32),
+                        interpret=True)

@@ -209,3 +209,18 @@ def test_sharded_extraction_resumes_after_crash(tmp_path, model_and_vars, rng):
         runner.run(stream(2), prefetch_depth=0,
                    shard_dir=str(tmp_path / "s2"), shard_every=1,
                    shard_meta={"backbone": "tiny", "normalized": True})
+
+    # ...but JSON-lossy metas that are EQUAL must not spuriously mismatch
+    # (the manifest copy went through json.dump: tuples -> lists)
+    runner.run(stream(2), prefetch_depth=0,
+               shard_dir=str(tmp_path / "s3"), shard_every=1,
+               shard_meta={"resolution": (32, 32)})
+    runner.run(stream(2), prefetch_depth=0,
+               shard_dir=str(tmp_path / "s3"), shard_every=1,
+               shard_meta={"resolution": (32, 32)})
+
+    # an EMPTY resume stream is the same stale-shard defect, not an
+    # exemption: returning the full persisted table would be silent staleness
+    with pytest.raises(ValueError, match="misalignment"):
+        runner.run(iter([]), prefetch_depth=0,
+                   shard_dir=shard_dir, shard_every=2)
