@@ -18,7 +18,7 @@ mask, so numerics match the reference's variable-size final batch.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,9 +58,21 @@ def freeze_subtrees(params, frozen_names: Tuple[str, ...]):
 
 
 def _sgd(params, grads, trace, lr, momentum, weight_decay, mask):
+    # mask gates the WHOLE update, not just the grad+wd term: torch's
+    # set_optimizer_reg EXCLUDES frozen params from the optimizer entirely
+    # (demo/util.py:125-136), so a frozen param must not move even if its
+    # momentum buffer holds a stale nonzero trace.  The trace keeps the
+    # param's dtype so non-fp32 param policies don't change the scan carry
+    # dtype between input and output.
     new_trace = jax.tree.map(
-        lambda p, g, t, m: momentum * t
-        + (g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)) * m,
+        lambda p, g, t, m: (
+            (
+                momentum * t.astype(jnp.float32)
+                + g.astype(jnp.float32)
+                + weight_decay * p.astype(jnp.float32)
+            )
+            * m
+        ).astype(t.dtype),
         params,
         grads,
         trace,
@@ -102,7 +114,6 @@ def _train_epoch_impl(
     text: jax.Array,  # [D, C] un-normalized text matrix
     train_mask: Any,  # 0/1 pytree over params
     *,
-    module_kwargs: Optional[Dict[str, Any]] = None,
     active: Optional[jax.Array] = None,  # [nb] bool — False on padded steps
     n_groups: int = 4,
     momentum: float = 0.9,
@@ -110,11 +121,13 @@ def _train_epoch_impl(
 ) -> Tuple[TrainState, EpochStats]:
     """``active`` marks real scan steps when epochs of different lengths are
     stacked into one program (the bsr-axis grid, sweep/vmap_loop.py): a False
-    step's batch is fully padded, whose masked statistics are 0/0 = NaN, so
-    the whole carry update (params, momentum, BatchNorm stats, meters) is
-    discarded via select — the step is a true no-op, not a zero-lr step
-    (zero-lr would still decay the momentum buffers and mutate BN stats)."""
-    kwargs = module_kwargs or {}
+    step's batch is fully padded, and the whole carry update (params,
+    momentum, BatchNorm stats, meters) is discarded via select so the step
+    is a true no-op.  The select is NOT about NaNs (masked_cross_entropy and
+    MaskedBatchNorm clamp their denominators, losses.py / adapter.py) — a
+    padded step run as "zero-lr" would still apply weight decay to the
+    trace, decay the momentum buffers, and drag BN running stats toward the
+    all-padded batch's (0, 0) statistics."""
     gated = active is not None
 
     def body(carry, xs):
@@ -135,7 +148,6 @@ def _train_epoch_impl(
                 mask=b_mask,
                 train=True,
                 mutable=["batch_stats"],
-                **kwargs,
             )
             return masked_cross_entropy(logits, lab, b_mask), (logits, mutated)
 
@@ -247,11 +259,9 @@ def _eval_epoch_impl(
     mask: jax.Array,
     text: jax.Array,
     *,
-    module_kwargs: Optional[Dict[str, Any]] = None,
     n_groups: int = 4,
 ) -> EpochStats:
     """Evaluation with running BatchNorm statistics (classifier.eval())."""
-    kwargs = module_kwargs or {}
 
     def body(acc, xs):
         b_idx, b_mask = xs
@@ -264,7 +274,6 @@ def _eval_epoch_impl(
             text,
             mask=b_mask,
             train=False,
-            **kwargs,
         )
         loss = masked_cross_entropy(logits, lab, b_mask)
         c, n = batch_group_counts(logits, lab, grp, b_mask, n_groups)
