@@ -40,7 +40,11 @@ def load_openai_checkpoint(path: str) -> Dict[str, np.ndarray]:
         model = torch.jit.load(path, map_location="cpu")
         state_dict = model.state_dict()
     except RuntimeError:
-        obj = torch.load(path, map_location="cpu")
+        # weights_only=False: torch >= 2.6 defaults to weights_only=True,
+        # which raises UnpicklingError on whole-module saves — the exact
+        # input this fallback exists for (reference clip.py:129-137).  The
+        # zoo path is trusted: downloads are sha256-verified before load.
+        obj = torch.load(path, map_location="cpu", weights_only=False)
         state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
     return {
         k: v.detach().cpu().float().numpy()
@@ -61,7 +65,14 @@ def config_from_state_dict(sd: Mapping[str, np.ndarray], name: str = "converted"
             }
         )
         vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        pos_rows = sd["visual.positional_embedding"].shape[0]
+        grid = round((pos_rows - 1) ** 0.5)
+        if grid ** 2 + 1 != pos_rows:
+            # same square-grid sanity as the RN attnpool check below
+            raise ValueError(
+                f"ViT positional embedding has {pos_rows} rows — not a "
+                "square patch grid + 1; corrupt or unsupported checkpoint"
+            )
         image_resolution = vision_patch_size * grid
     else:
         counts = []
@@ -74,7 +85,16 @@ def config_from_state_dict(sd: Mapping[str, np.ndarray], name: str = "converted"
             counts.append(len(blocks))
         vision_layers = tuple(counts)
         vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
-        out_width = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        pos_rows = sd["visual.attnpool.positional_embedding"].shape[0]
+        out_width = round((pos_rows - 1) ** 0.5)
+        if out_width ** 2 + 1 != pos_rows:
+            # the reference's sanity assert (clip/model.py:413): a corrupt
+            # or non-square-grid checkpoint must fail HERE, not as an opaque
+            # Flax shape mismatch (or a silently wrong resolution) later
+            raise ValueError(
+                f"attnpool positional embedding has {pos_rows} rows — not a "
+                "square spatial grid + 1; corrupt or unsupported checkpoint"
+            )
         vision_patch_size = None
         image_resolution = out_width * 32
 

@@ -71,7 +71,13 @@ def download(name: str, root: str = DEFAULT_CACHE) -> str:
     if os.path.isfile(target):
         if verify(target, name):
             return target
-        print(f"WARNING: {target} exists but sha256 mismatches; re-downloading")
+        import sys
+
+        # stderr: drivers parse stdout (CLAUDE.md one-JSON-line contract)
+        print(
+            f"WARNING: {target} exists but sha256 mismatches; re-downloading",
+            file=sys.stderr,
+        )
     urllib.request.urlretrieve(url, target)
     if not verify(target, name):
         raise RuntimeError(
@@ -91,11 +97,18 @@ def load(name_or_path: str, dtype=None, download_root: str = DEFAULT_CACHE) -> T
         variables_from_state_dict,
     )
 
-    path = (
-        name_or_path
-        if os.path.isfile(name_or_path)
-        else download(name_or_path, download_root)
-    )
+    # zoo names resolve FIRST (reference clip.py:124-129): a stray local
+    # file named exactly like a model must not shadow the sha256-verified
+    # checkpoint.  Anything else must exist as a file to be treated as one.
+    if name_or_path in _MODELS:
+        path = download(name_or_path, download_root)
+    elif os.path.isfile(name_or_path):
+        path = name_or_path
+    else:
+        raise FileNotFoundError(
+            f"{name_or_path!r} is neither a zoo model "
+            f"({', '.join(sorted(_MODELS))}) nor an existing checkpoint file"
+        )
     sd = load_openai_checkpoint(path)
     cfg = config_from_state_dict(sd)
     if dtype is not None:

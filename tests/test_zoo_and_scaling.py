@@ -140,3 +140,34 @@ def test_zoo_load_from_local_state_dict(tmp_path, rng):
             )
         ).numpy()
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4)
+
+
+def test_load_rejects_nonexistent_path():
+    """A mistyped local path raises FileNotFoundError naming the zoo models,
+    not a misleading 'unknown model' from the download path."""
+    import pytest
+
+    from debiasing_multi_modal_tpu.weights import zoo
+
+    with pytest.raises(FileNotFoundError, match="neither a zoo model"):
+        zoo.load("./no_such_checkpoint.pt")
+
+
+def test_config_sniff_rejects_non_square_grids():
+    """Corrupt positional embeddings fail at sniff time with a clear error
+    (the reference's clip/model.py:413 assert), not as a downstream Flax
+    shape mismatch."""
+    import numpy as np
+    import pytest
+
+    from debiasing_multi_modal_tpu.weights.convert import config_from_state_dict
+
+    sd = {
+        "visual.proj": np.zeros((8, 16), np.float32),
+        "visual.conv1.weight": np.zeros((8, 3, 4, 4), np.float32),
+        "visual.positional_embedding": np.zeros((48, 8), np.float32),  # 47 != k^2
+        "text_projection": np.zeros((8, 16), np.float32),
+        "ln_final.weight": np.zeros(8, np.float32),
+    }
+    with pytest.raises(ValueError, match="square"):
+        config_from_state_dict(sd)
