@@ -80,6 +80,10 @@ def build_parser():
     # reference parse_option forces ca_pre_norm True (visualizer_supcon.py:258)
     p.add_argument("--no_ca_pre_norm", dest="ca_pre_norm",
                    action="store_false", default=True)
+    # notebook flow: opt.ca_head = 'linear', ca_feat_dim 128 (SupCon.ipynb)
+    p.add_argument("--ca_head", type=str, default=None,
+                   choices=["linear"])
+    p.add_argument("--ca_feat_dim", type=int, default=128)
     p.add_argument("--batch_factor", type=int, default=4)
     p.add_argument("--watch_batch_results", action="store_true")
     p.add_argument("--save_results", action="store_true")
@@ -132,6 +136,8 @@ def config_from_args(args):
         contrastive_weight=args.contrastive_weight,
         ca_ce_update=args.ca_ce_update,
         ca_pre_norm=args.ca_pre_norm,
+        ca_head=args.ca_head,
+        ca_feat_dim=args.ca_feat_dim,
         batch_factor=args.batch_factor,
         random_seed=args.random_seed,
         save_results=args.save_results,

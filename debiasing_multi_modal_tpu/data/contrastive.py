@@ -51,7 +51,6 @@ def compute_slices(labels: np.ndarray, zs_preds: np.ndarray):
 def prepare_contrastive_points(
     labels: np.ndarray,
     zs_preds: np.ndarray,
-    spurious: Optional[np.ndarray] = None,
 ) -> ContrastivePoints:
     slices, correct = compute_slices(labels, zs_preds)
     n_slices = len(slices)
@@ -96,6 +95,35 @@ def prepare_contrastive_points(
             slice_negatives[other]["target"] = labels[slice_negatives[other]["ix"]]
 
     return ContrastivePoints(slice_anchors, slice_negatives, positives_by_class)
+
+
+def clamp_counts(
+    points: ContrastivePoints,
+    num_anchor: int,
+    num_positive: int,
+    num_negative: int,
+):
+    """Clamp requested row counts to the smallest available pools.
+
+    Reference parity: the working notebook flow calls ``adjust_num_pos_neg_``
+    before building rows (SupCon.ipynb cell 6:41-66, invoked cell 10:58) —
+    ``num_positive``/``num_negative`` shrink to the smallest class-positive /
+    slice-negative pool, and ``num_anchor`` to their minimum — rather than
+    sampling with replacement, which would inflate the SupCon denominator
+    with duplicates.  Empty pools are excluded from the minima (their anchors
+    are skipped in construct_contrastive_rows; the reference crashes on
+    them).  Returns the clamped ``(num_anchor, num_positive, num_negative)``.
+    """
+    pos_sizes = [
+        len(d["ix"]) for d in points.positives_by_class.values() if len(d["ix"])
+    ]
+    neg_sizes = [len(d["ix"]) for d in points.slice_negatives if len(d["ix"])]
+    if pos_sizes:
+        num_positive = min(num_positive, min(pos_sizes))
+    if neg_sizes:
+        num_negative = min(num_negative, min(neg_sizes))
+    num_anchor = min(num_anchor, num_positive, num_negative)
+    return max(num_anchor, 1), num_positive, num_negative
 
 
 def _sample(pool: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:

@@ -101,6 +101,43 @@ class AdapterMLP(nn.Module):
         )(h)
 
 
+class CAEncoder(nn.Module):
+    """Adapter plus the notebook's optional contrastive projection head.
+
+    Reference parity: the working contrastive-adapter flow builds
+    ``CustomCLIP(..., head=opt.ca_head, ca_feat_dim=opt.ca_feat_dim)`` with
+    ``opt.ca_head = 'linear'`` (SupCon.ipynb cell 3:13) and its
+    ``forward_ca`` projects the adapter output through
+    ``nn.Linear(input_dim, ca_feat_dim)`` before normalizing (cell 0:91-95).
+    The head exists ONLY in the contrastive loss path — the CE/zero-shot
+    forward uses the bare adapter — so the param tree nests the shared
+    adapter under ``"adapter"`` (copied in/out of the main classifier state
+    per CL epoch) and the head under ``"head"``."""
+
+    hidden_dim: int = 128
+    ca_head: Optional[str] = None  # None | "linear"
+    ca_feat_dim: int = 128
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
+    ) -> jax.Array:
+        feat = AdapterMLP(
+            hidden_dim=self.hidden_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="adapter",
+        )(x, mask=mask, train=train)
+        if self.ca_head is None:
+            return feat
+        if self.ca_head != "linear":
+            raise ValueError(f"unknown ca_head {self.ca_head!r}")
+        return nn.Dense(
+            self.ca_feat_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="head",
+        )(feat)
+
+
 def _row_normalize(x: jax.Array) -> jax.Array:
     x32 = x.astype(jnp.float32)
     return x32 / jnp.linalg.norm(x32, axis=-1, keepdims=True)

@@ -108,6 +108,21 @@ def _init_stacked_jit(module, keys, input_dim, n_cls, init_on_first):
     return jax.vmap(one)(keys)
 
 
+@functools.partial(jax.jit, static_argnames=("encoder", "input_dim"))
+def _init_head_stacked(encoder, keys, input_dim):
+    # contrastive projection head init, one vmapped program; key consumption
+    # mirrors the sequential loop's `key, head_key = split(key)` (head uses
+    # the SECOND half, the carry keeps the first — same as init_on_first=False)
+    def one(k):
+        k_next, init_key = jax.random.split(k)
+        variables = encoder.init(
+            init_key, jnp.zeros((2, input_dim), jnp.float32), train=True
+        )
+        return k_next, variables["params"]["head"]
+
+    return jax.vmap(one)(keys)
+
+
 def _pad_stack_plans(plans):
     """Stack per-row BatchPlans of differing shapes into padded arrays.
 
@@ -297,6 +312,23 @@ def train_seeds_vmapped(
     ma_state: Optional[TrainState] = None
     ma_mask = None
 
+    # contrastive projection head (mirrors loop.py; key order identical)
+    head_stateS: Optional[TrainState] = None
+    if cfg.tl_method == "contrastive_adapter" and cfg.ca_head is not None:
+        from debiasing_multi_modal_tpu.models.adapter import CAEncoder
+
+        ca_encoder = CAEncoder(
+            hidden_dim=cfg.adapter_feat_dim, ca_head=cfg.ca_head,
+            ca_feat_dim=cfg.ca_feat_dim,
+        )
+        keysS, head_paramsS = _init_head_stacked(
+            ca_encoder, keysS, cfg.input_dim
+        )
+        head_paramsS = place(head_paramsS)
+        head_stateS = TrainState(
+            head_paramsS, {}, jax.tree.map(jnp.zeros_like, head_paramsS)
+        )
+
     train_labels = bundle.train.labels(cfg.train_target)
     if int(train_labels.max()) >= bundle.text_class.shape[1]:
         raise ValueError(
@@ -337,6 +369,7 @@ def train_seeds_vmapped(
     }
     dev_best = {False: None, True: None}  # kind -> (params, batch_stats)
     contrastive_rows = None  # per-seed row matrices (same shape across seeds)
+    ca_counts = (cfg.num_anchor, cfg.num_positive, cfg.num_negative)
     history = {"train": [[] for _ in range(S)], "val": [[] for _ in range(S)],
                "test": [[] for _ in range(S)]}
 
@@ -486,6 +519,7 @@ def train_seeds_vmapped(
 
             if contrastive_rows is None:
                 from debiasing_multi_modal_tpu.data.contrastive import (
+                    clamp_counts,
                     construct_contrastive_rows,
                     prepare_contrastive_points,
                 )
@@ -493,11 +527,10 @@ def train_seeds_vmapped(
                 points = prepare_contrastive_points(
                     bundle.train.y, bundle.train.y_pred
                 )
+                # mirrors loop.py: reference adjust_num_pos_neg_ clamping
+                ca_counts = clamp_counts(points, *ca_counts)
                 contrastive_rows = [
-                    construct_contrastive_rows(
-                        points, cfg.num_anchor, cfg.num_positive,
-                        cfg.num_negative, rngs[i],
-                    )
+                    construct_contrastive_rows(points, *ca_counts, rngs[i])
                     for i in range(S)
                 ]
             rowsS = []
@@ -510,23 +543,49 @@ def train_seeds_vmapped(
                 rowsS.append(r[: nb * cfg.batch_factor].reshape(nb, cfg.batch_factor, -1))
             rowsS = place(jnp.asarray(np.stack(rowsS)))
             lrsj = jnp.asarray(batch_lrs(epoch, rowsS.shape[1], 1))
-            mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
-            subS = TrainState(
-                state.params["adapter"],
-                state.batch_stats["adapter"],
-                state.trace["adapter"],
-            )
-            sub_mask = full_mask["adapter"]
+            if head_stateS is not None:
+                from debiasing_multi_modal_tpu.models.adapter import CAEncoder
+
+                mlp = CAEncoder(
+                    hidden_dim=cfg.adapter_feat_dim, ca_head=cfg.ca_head,
+                    ca_feat_dim=cfg.ca_feat_dim,
+                )
+                subS = TrainState(
+                    {"adapter": state.params["adapter"],
+                     "head": head_stateS.params},
+                    {"adapter": state.batch_stats["adapter"]},
+                    {"adapter": state.trace["adapter"],
+                     "head": head_stateS.trace},
+                )
+                sub_mask = {"adapter": full_mask["adapter"],
+                            "head": ones_mask(head_stateS.params)}
+            else:
+                mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
+                subS = TrainState(
+                    state.params["adapter"],
+                    state.batch_stats["adapter"],
+                    state.trace["adapter"],
+                )
+                sub_mask = full_mask["adapter"]
 
             subS, _ = train_contrastive_epoch_vmapped(
                 mlp, subS, stage(bundle.train.emb), rowsS, lrsj, sub_mask,
-                num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
-                num_negative=cfg.num_negative,
+                num_anchor=ca_counts[0], num_positive=ca_counts[1],
+                num_negative=ca_counts[2],
                 temperature=cfg.cl_temperature,
                 contrastive_weight=cfg.contrastive_weight,
                 ca_pre_norm=cfg.ca_pre_norm,
                 momentum=cfg.momentum, weight_decay=cfg.weight_decay,
             )
+            if head_stateS is not None:
+                head_stateS = TrainState(
+                    subS.params["head"], {}, subS.trace["head"]
+                )
+                subS = TrainState(
+                    subS.params["adapter"],
+                    subS.batch_stats["adapter"],
+                    subS.trace["adapter"],
+                )
             state = TrainState(
                 {**state.params, "adapter": subS.params},
                 {**state.batch_stats, "adapter": subS.batch_stats},

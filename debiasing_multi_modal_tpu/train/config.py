@@ -82,6 +82,13 @@ class TrainConfig:
     # (opt.ca_pre_norm = True, set unconditionally in parse_option,
     # visualizer_supcon.py:258; the CE/ZS forward stays un-prenormalized)
     ca_pre_norm: bool = True
+    # contrastive projection head: the working notebook flow sets
+    # opt.ca_head = 'linear' with ca_feat_dim 128 (SupCon.ipynb cell 3:13,
+    # cell 0:64,91-95 — adapter output -> Linear(D, ca_feat_dim) -> normalize
+    # in the CL loss path only; CE/eval always use the bare adapter).
+    # Default None keeps the head off (PARITY deviation 6 discusses both).
+    ca_head: Optional[str] = None  # None | "linear"
+    ca_feat_dim: int = 128
 
     # misc
     random_seed: int = 42

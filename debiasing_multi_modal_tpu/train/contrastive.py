@@ -23,10 +23,17 @@ only in grouping, not in scale).
 path L2-normalizes embeddings BEFORE the adapter (``opt.ca_pre_norm = True``
 set unconditionally in parse_option, visualizer_supcon.py:258; the working
 notebook's ``forward_ca`` does ``x / x.norm()`` first) while the CE/ZS
-forward feeds the adapter raw features (CustomCLIP.forward, :118-132).  The
-reference's projection head (``ca_head``) defaults to None and its
-``set_model`` has no contrastive branch at all (UnboundLocalError — latent
-bug), so no head is implemented here.
+forward feeds the adapter raw features (CustomCLIP.forward, :118-132).
+
+Two reference sources disagree on step granularity and scaling — both are
+expressible here (PARITY deviation 6): the never-runnable trainer
+(visualizer_supcon.py:477-479) accumulates ``batch_factor`` rows per step
+with the loss scaled by ``contrastive_weight`` (= the defaults), while the
+working notebook steps SGD once per anchor row on the UNSCALED loss
+(SupCon.ipynb cell 0:410-412; = ``batch_factor=1, contrastive_weight=1.0``)
+and projects through a linear head (``cfg.ca_head='linear'`` →
+``models/adapter.py::CAEncoder``; the module passed in is then the encoder,
+and its head params ride the caller's separate head state).
 """
 
 from __future__ import annotations

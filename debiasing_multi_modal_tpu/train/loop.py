@@ -352,6 +352,25 @@ def train_all_epochs(
     ma_state: Optional[TrainState] = None
     ma_mask = None
 
+    # contrastive projection head (notebook ca_head='linear', SupCon.ipynb
+    # cell 3:13): its params/momentum persist across CL epochs in a separate
+    # state; the CE/eval path never sees them
+    head_state: Optional[TrainState] = None
+    if cfg.tl_method == "contrastive_adapter" and cfg.ca_head is not None:
+        from debiasing_multi_modal_tpu.models.adapter import CAEncoder
+
+        ca_encoder = CAEncoder(
+            hidden_dim=cfg.adapter_feat_dim, ca_head=cfg.ca_head,
+            ca_feat_dim=cfg.ca_feat_dim,
+        )
+        key, head_key = jax.random.split(key)
+        head_vars = ca_encoder.init(
+            head_key, jnp.zeros((2, cfg.input_dim), jnp.float32), train=True
+        )
+        # only the head subtree is kept — the adapter trains in the main
+        # classifier state and is copied into the CL encoder per epoch
+        head_state = init_train_state(head_vars["params"]["head"], {})
+
     train_labels = bundle.train.labels(cfg.train_target)
     if int(train_labels.max()) >= bundle.text_class.shape[1]:
         raise ValueError(
@@ -389,16 +408,21 @@ def train_all_epochs(
     # rebuilding from it would silently train on different rows (round-3
     # review finding).
     contrastive_rows = None
+    ca_counts = (cfg.num_anchor, cfg.num_positive, cfg.num_negative)
     if cfg.tl_method == "contrastive_adapter":
         from debiasing_multi_modal_tpu.data.contrastive import (
+            clamp_counts,
             construct_contrastive_rows,
             prepare_contrastive_points,
         )
 
         points = prepare_contrastive_points(bundle.train.y, bundle.train.y_pred)
-        contrastive_rows = construct_contrastive_rows(
-            points, cfg.num_anchor, cfg.num_positive, cfg.num_negative, rng
-        )
+        # reference adjust_num_pos_neg_: shrink counts to the pools instead
+        # of sampling with replacement (SupCon.ipynb cell 10:58)
+        ca_counts = clamp_counts(points, *ca_counts)
+        if ca_counts != (cfg.num_anchor, cfg.num_positive, cfg.num_negative):
+            log(f"contrastive counts clamped to pools: {ca_counts}")
+        contrastive_rows = construct_contrastive_rows(points, *ca_counts, rng)
         log(f"contrastive rows: {contrastive_rows.shape}")
 
     feat_epochs = (
@@ -427,6 +451,12 @@ def train_all_epochs(
                     jax.tree.map(jnp.asarray, tree["ma_state"]["trace"]),
                 )
                 ma_mask = freeze_subtrees(ma_state.params, ("old",))
+            if "head_state" in tree:
+                head_state = TrainState(
+                    jax.tree.map(jnp.asarray, tree["head_state"]["params"]),
+                    {},
+                    jax.tree.map(jnp.asarray, tree["head_state"]["trace"]),
+                )
             if "best_params" in tree:
                 best["params"] = tree["best_params"]
                 best["stats"] = tree["best_stats"]
@@ -570,21 +600,47 @@ def train_all_epochs(
                 nb, cfg.batch_factor, -1
             )
             lrs = epoch_batch_lrs(cfg, epoch, nb, 1)
-            mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
-            sub_state = TS(
-                state.params["adapter"],
-                state.batch_stats["adapter"],
-                state.trace["adapter"],
-            )
+            if head_state is not None:
+                # CL encoder = adapter + projection head (notebook
+                # forward_ca); the head's params/momentum ride head_state
+                from debiasing_multi_modal_tpu.models.adapter import CAEncoder
+
+                mlp = CAEncoder(
+                    hidden_dim=cfg.adapter_feat_dim, ca_head=cfg.ca_head,
+                    ca_feat_dim=cfg.ca_feat_dim,
+                )
+                sub_state = TS(
+                    {"adapter": state.params["adapter"],
+                     "head": head_state.params},
+                    {"adapter": state.batch_stats["adapter"]},
+                    {"adapter": state.trace["adapter"],
+                     "head": head_state.trace},
+                )
+            else:
+                mlp = AdapterMLP(hidden_dim=cfg.adapter_feat_dim)
+                sub_state = TS(
+                    state.params["adapter"],
+                    state.batch_stats["adapter"],
+                    state.trace["adapter"],
+                )
             sub_state, cl_losses = train_contrastive_epoch(
                 mlp, sub_state, bundle.train.emb, jnp.asarray(rows),
                 jnp.asarray(lrs), ones_mask(sub_state.params),
-                num_anchor=cfg.num_anchor, num_positive=cfg.num_positive,
-                num_negative=cfg.num_negative, temperature=cfg.cl_temperature,
+                num_anchor=ca_counts[0], num_positive=ca_counts[1],
+                num_negative=ca_counts[2], temperature=cfg.cl_temperature,
                 contrastive_weight=cfg.contrastive_weight,
                 ca_pre_norm=cfg.ca_pre_norm,
                 momentum=cfg.momentum, weight_decay=cfg.weight_decay,
             )
+            if head_state is not None:
+                head_state = TS(
+                    sub_state.params["head"], {}, sub_state.trace["head"]
+                )
+                sub_state = TS(
+                    sub_state.params["adapter"],
+                    sub_state.batch_stats["adapter"],
+                    sub_state.trace["adapter"],
+                )
             state = TS(
                 {**state.params, "adapter": sub_state.params},
                 {**state.batch_stats, "adapter": sub_state.batch_stats},
@@ -682,6 +738,11 @@ def train_all_epochs(
                     "params": ma_state.params,
                     "batch_stats": ma_state.batch_stats,
                     "trace": ma_state.trace,
+                }
+            if head_state is not None:
+                payload["head_state"] = {
+                    "params": head_state.params,
+                    "trace": head_state.trace,
                 }
             if best["params"] is not None:
                 payload["best_params"] = best["params"]

@@ -49,5 +49,8 @@ def supcon_loss(
     exp_pos = jnp.exp(pos - max_pos)
     exp_neg = jnp.exp(neg - max_pos)
     denom = exp_pos.sum(-1, keepdims=True) + exp_neg.sum(-1, keepdims=True)
-    log_probs = jnp.log(exp_pos) - jnp.log(denom)
+    # (pos - max_pos) directly, NOT log(exp_pos): the exp/log round trip
+    # underflows to -inf (NaN gradients) once pos - max_pos < ~-88, which
+    # small cl_temperature values reach; this form is exact and cheaper
+    log_probs = (pos - max_pos) - jnp.log(denom)
     return (-log_probs).mean()

@@ -242,3 +242,30 @@ def test_contrastive_training_pulls_anchors_toward_positives():
         )
     after = float(np.mean(np.asarray(losses)))
     assert after < before, (before, after)
+
+
+def test_clamp_counts_shrinks_to_pools():
+    """Reference adjust_num_pos_neg_ (SupCon.ipynb cell 6:41-66): requested
+    counts shrink to the smallest pools instead of sampling duplicates."""
+    import numpy as np
+
+    from debiasing_multi_modal_tpu.data.contrastive import (
+        clamp_counts,
+        prepare_contrastive_points,
+    )
+
+    rng = np.random.default_rng(0)
+    labels = np.array([0] * 20 + [1] * 20, np.int32)
+    preds = labels.copy()
+    preds[:3] = 1  # 3 anchors in slice "pred=1" with true class 0
+    preds[20:25] = 0  # 5 anchors in slice "pred=0" with true class 1
+    pts = prepare_contrastive_points(labels, preds)
+    a, p, n = clamp_counts(pts, 2048, 2048, 2048)
+    # positives: smallest non-empty class-positive pool;
+    # negatives: smallest slice-negative pool; anchors <= min(p, n)
+    pos_sizes = [len(d["ix"]) for d in pts.positives_by_class.values() if len(d["ix"])]
+    neg_sizes = [len(d["ix"]) for d in pts.slice_negatives if len(d["ix"])]
+    assert p == min(pos_sizes) and n == min(neg_sizes)
+    assert a <= min(p, n) and a >= 1
+    # requested counts below the pools pass through unchanged
+    assert clamp_counts(pts, 1, 2, 3) == (1, 2, 3)

@@ -252,3 +252,31 @@ def test_group_label_width_guard(bundle):
         train_all_epochs(cfg, bad, verbose=False)
     with pytest.raises(ValueError, match="group text matrix"):
         run_seeds(cfg, bad, [42], use_vmap=True)
+
+
+def test_contrastive_head_notebook_flow(bundle):
+    """The notebook's full CA configuration (ca_head='linear' projection,
+    per-row stepping via batch_factor=1, unscaled loss — SupCon.ipynb cells
+    0/3): trains, the CL loss decreases, and the head demonstrably changes
+    the trajectory vs the headless run.  Sequential == vmapped pins the
+    sweep path (CLAUDE.md sweep-equivalence rule)."""
+    from debiasing_multi_modal_tpu.sweep.runner import run_seeds
+
+    base = dict(BASE)
+    base["learning_rate"] = 0.02
+    common = dict(
+        tl_method="contrastive_adapter", epochs=3,
+        num_positive=16, num_negative=16, batch_factor=1,
+        contrastive_weight=1.0, **base,
+    )
+    headless = TrainConfig(**common)
+    headed = TrainConfig(ca_head="linear", ca_feat_dim=32, **common)
+    (_, _, te0), _, h0 = train_all_epochs(headless, bundle, verbose=False)
+    (_, _, te1), _, h1 = train_all_epochs(headed, bundle, verbose=False)
+    assert h1["cl_loss"][-1] < h1["cl_loss"][0], h1["cl_loss"]
+    assert h0["cl_loss"] != h1["cl_loss"], "head had no effect on training"
+    seq = run_seeds(headed, bundle, [42], use_vmap=False)
+    vm = run_seeds(headed, bundle, [42], use_vmap=True)
+    for a, b in zip(seq[0][0], vm[0][0]):
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-5, (k, a, b)
