@@ -91,8 +91,12 @@ class CLIP(nn.Module):
     def __call__(
         self, images: jax.Array, token_ids: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
-        img = l2_normalize(self.encode_image(images)).astype(jnp.float32)
-        txt = l2_normalize(self.encode_text(token_ids)).astype(jnp.float32)
+        # upcast BEFORE normalizing: l2_normalize returns x.dtype, so
+        # normalize-then-upcast would round the normalized components to
+        # bf16 ahead of the HIGHEST-precision matmul (the fp32-head policy;
+        # extract/runner.py orders it the same way)
+        img = l2_normalize(self.encode_image(images).astype(jnp.float32))
+        txt = l2_normalize(self.encode_text(token_ids).astype(jnp.float32))
         scale = jnp.exp(self.logit_scale.astype(jnp.float32))
         logits_per_image = scale * jnp.matmul(
             img, txt.T, precision=jax.lax.Precision.HIGHEST
@@ -102,16 +106,23 @@ class CLIP(nn.Module):
 
 def create_clip(
     name_or_config,
-    dtype=jnp.float32,
+    dtype=None,
     attn_impl: str = "auto",
     remat: bool = False,
     fuse_bn: bool = False,
 ) -> CLIP:
-    cfg = (
-        name_or_config
-        if isinstance(name_or_config, CLIPConfig)
-        else get_config(name_or_config, dtype=dtype)
-    )
+    """``dtype=None`` keeps the config's dtype (fp32 for zoo names); an
+    explicit dtype is honored for BOTH name and CLIPConfig inputs — the old
+    signature silently ignored it for configs, running fp32 convs when the
+    caller asked for bf16."""
+    if isinstance(name_or_config, CLIPConfig):
+        cfg = name_or_config
+        if dtype is not None:
+            cfg = cfg.with_dtype(dtype)
+    else:
+        cfg = get_config(
+            name_or_config, dtype=jnp.float32 if dtype is None else dtype
+        )
     return CLIP(config=cfg, attn_impl=attn_impl, remat=remat, fuse_bn=fuse_bn)
 
 

@@ -8,7 +8,7 @@ subclass (clip/model.py:157-163) and fp32 BatchNorm statistics under autocast.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -165,6 +165,12 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+        if x.shape[-1] != self.width:
+            # width otherwise goes unread (blocks size off x.shape[-1]);
+            # validate so a mismatched config fails here, not silently
+            raise ValueError(
+                f"input width {x.shape[-1]} != configured width {self.width}"
+            )
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
