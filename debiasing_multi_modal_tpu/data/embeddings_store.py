@@ -101,6 +101,13 @@ def save_embeddings(
 ):
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     if fmt == "npz":
+        if not path.endswith(".npz"):
+            # np.savez silently appends ".npz" to suffix-less paths, so the
+            # file would land somewhere the caller's path doesn't point at
+            # (and a later load_embeddings(path) would misinfer fmt)
+            raise ValueError(
+                f"fmt='npz' requires a .npz path, got {path!r}"
+            )
         np.savez(
             path,
             filenames=table.filenames,

@@ -89,6 +89,10 @@ def _read_csv_columns(path: str, wanted):
     out = {w: [] for w in wanted}
     with open(path, newline="") as f:
         reader = csv.DictReader(f)
+        if reader.fieldnames is None:
+            # empty/truncated file: DictReader yields None fieldnames and
+            # the membership test below would raise an opaque TypeError
+            raise ValueError(f"{path}: empty CSV (no header row)")
         missing = [w for w in wanted if w not in reader.fieldnames]
         if missing:
             raise ValueError(f"{path}: missing columns {missing} (has {reader.fieldnames})")

@@ -21,6 +21,13 @@ import jax.numpy as jnp
 def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     """img [H, W, C], ys/xs [R, R] float source coords -> [R, R, C]."""
     h, w, _ = img.shape
+    # clamp the SAMPLING coordinates, not just the gather indices: clamping
+    # only the floored index while computing the fractional weight against
+    # the unclamped coordinate extrapolates past the edge (emits values
+    # outside the input range, measured up to 1.27 from a [0,1] image).
+    # PIL/torchvision clamp the source coords the same way.
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)

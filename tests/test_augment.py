@@ -61,3 +61,24 @@ def test_two_crop_views_differ(rng):
     v1, v2 = two_crop(jax.random.PRNGKey(0), imgs, out_res=32)
     assert v1.shape == v2.shape == (4, 32, 32, 3)
     assert np.abs(np.asarray(v1) - np.asarray(v2)).max() > 1e-3
+
+
+def test_random_resized_crop_upsampling_stays_in_range():
+    """Bilinear sampling must clamp SOURCE coordinates at the image edge:
+    clamping only the floored gather index extrapolates (weights computed
+    against the unclamped coordinate) and emitted values up to ~1.27 from a
+    [0, 1] input on upsampling crops touching the top/left edge."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from debiasing_multi_modal_tpu.ops.augment import random_resized_crop
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((8, 32, 32, 3)).astype(np.float32))
+    out = random_resized_crop(
+        jax.random.PRNGKey(0), imgs, out_res=32,
+        scale_range=(0.7, 1.0),  # crop side < out_res: upsampling
+    )
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0, (
+        float(out.min()), float(out.max()))
