@@ -111,7 +111,9 @@ class ExtractionRunner:
                 )
             validate_tp(model.config, self.mesh.shape["model"])
             self._var_shardings = tp_shardings(variables, self.mesh)
-            self.variables = shard_variables(variables, self.mesh)
+            self.variables = shard_variables(
+                variables, self.mesh, shardings=self._var_shardings
+            )
         else:
             self._var_shardings = rep
             self.variables = jax.device_put(variables, rep)

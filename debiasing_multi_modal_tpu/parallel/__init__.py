@@ -1,7 +1,7 @@
 from debiasing_multi_modal_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
-    replicate,
+    replicated,
 )
 from debiasing_multi_modal_tpu.parallel.tp import (  # noqa: F401
     shard_variables,

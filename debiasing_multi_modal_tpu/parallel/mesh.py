@@ -48,17 +48,5 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def replicate(tree, mesh: Mesh):
-    """Place a pytree fully-replicated on the mesh."""
-    sharding = replicated(mesh)
-    return jax.device_put(tree, sharding)
-
-
-def shard_batch(array, mesh: Mesh, axis: str = "data"):
-    """Place an array batch-sharded on the mesh (pads NOT handled here —
-    callers pad the batch to a multiple of the axis size)."""
-    return jax.device_put(array, batch_sharding(mesh, axis))
-
-
 def pad_to_multiple(n: int, k: int) -> int:
     return -(-n // k) * k

@@ -34,6 +34,15 @@ def pack_tree(tree: Any, exact: bool = False) -> Tuple[np.ndarray, Any]:
     offset = 0
     for leaf in leaves:
         arr = np.asarray(leaf)
+        if arr.dtype.kind != "f":
+            # int/bool leaves routed through float32 (or bf16) would be
+            # silently quantized — int32 values above 2**24 round-trip
+            # WRONG even under exact=True.  This packer is for float
+            # parameter trees only.
+            raise TypeError(
+                f"pack_tree supports float leaves only; got {arr.dtype} "
+                "(pack non-float leaves separately or device_put them raw)"
+            )
         metas.append((arr.shape, arr.dtype, offset, arr.size))
         offset += arr.size
     buf = np.empty(offset, buf_dtype)
@@ -57,16 +66,12 @@ def packed_host_init(model, batch: int = 1, seed: int = 0):
     to the default device (per-leaf staging pays a per-buffer tunnel round
     trip — docs/DESIGN.md §7).  Shared by bench.py and the profiling
     scripts."""
+    from debiasing_multi_modal_tpu.models.clip import init_clip
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        host_vars = jax.jit(model.init, backend="cpu")(
-            jax.random.PRNGKey(seed),
-            jnp.zeros(
-                (batch, model.config.image_resolution,
-                 model.config.image_resolution, 3),
-                model.config.dtype,
-            ),
-            jnp.zeros((batch, model.config.context_length), jnp.int32),
-        )
+        # one recipe for dummy-input init (shapes/dtypes live in init_clip;
+        # a second copy here silently diverged once already)
+        host_vars = init_clip(model, jax.random.PRNGKey(seed), batch=batch)
     buf, spec = pack_tree(jax.device_get(host_vars))
     return jax.jit(lambda b: unpack_tree(b, spec))(jnp.asarray(buf))

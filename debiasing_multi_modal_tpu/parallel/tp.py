@@ -92,9 +92,19 @@ def tp_shardings(variables: Any, mesh: Mesh, axis: str = "model") -> Any:
     )
 
 
-def shard_variables(variables: Any, mesh: Mesh, axis: str = "model") -> Any:
-    """Place a CLIP variable tree tensor-parallel on ``mesh``."""
-    return jax.tree.map(jax.device_put, variables, tp_shardings(variables, mesh, axis))
+def shard_variables(
+    variables: Any, mesh: Mesh, axis: str = "model", shardings: Any = None
+) -> Any:
+    """Place a CLIP variable tree tensor-parallel on ``mesh``.
+
+    ONE batched ``device_put`` over the whole tree: per-leaf puts pay a
+    per-buffer round trip on remote links (the ~2x pathology
+    parallel/packing.py documents).  Pass ``shardings`` when the caller
+    already built the tree (ExtractionRunner does) to skip recomputing it.
+    """
+    if shardings is None:
+        shardings = tp_shardings(variables, mesh, axis)
+    return jax.device_put(variables, shardings)
 
 
 def validate_tp(config, tp: int) -> None:

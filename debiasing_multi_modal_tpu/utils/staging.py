@@ -13,6 +13,12 @@ recycled while its entry is alive.  With the default ``put``, device arrays
 pass through untouched; a custom ``put`` (e.g. replication over a mesh via
 ``jax.device_put(a, NamedSharding(mesh, P()))``) is applied to device
 arrays too, once per distinct input.
+
+NO EVICTION: every staged host array (and its device buffer) stays pinned
+for the cache's lifetime — that is the point (stable per-split arrays,
+staged once).  Do NOT stage per-call fresh arrays (e.g. ``stage(a[order])``
+inside an epoch loop): each call would pin a new entry forever.  Call
+``clear()`` to drop everything when a workload's arrays are done.
 """
 
 from __future__ import annotations
@@ -43,3 +49,7 @@ class DeviceCache:
 
     def __len__(self) -> int:
         return len(self._cache)
+
+    def clear(self) -> None:
+        """Release every pinned host reference and device buffer."""
+        self._cache.clear()
