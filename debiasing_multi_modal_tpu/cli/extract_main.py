@@ -199,6 +199,11 @@ def main(args):
                 "batch_size": args.batch_size,
                 "host_resolution": args.host_resolution,
                 "split": split,
+                # backend-dependent numerics: a resume whose backend fell
+                # back to CPU (fp32) or whose tp width changed would merge
+                # numerically different shards without these
+                "compute_dtype": jnp.dtype(dtype).name,
+                "tensor_parallel": tp,
             }
         from debiasing_multi_modal_tpu.utils.profiling import trace
 
@@ -248,10 +253,8 @@ def main(args):
 
 def _entry():
     """console-script entry point (pyproject.toml)."""
-    import sys
-
     sys.exit(main(build_parser().parse_args()))
 
 
 if __name__ == "__main__":
-    sys.exit(main(build_parser().parse_args()))
+    _entry()

@@ -58,7 +58,29 @@ def main(args):
     enable_persistent_cache()
 
     cfg = config_from_args(args)
-    seeds = [int(s) for s in args.random_seeds.split(",")][: args.num_iter]
+    all_seeds = [int(s) for s in args.random_seeds.split(",")]
+    if args.num_iter > len(all_seeds):
+        # the reference indexes random_seeds[iter-1] and fails loudly
+        # (final_main_iteration_wb.py:1129-1132); silent truncation would
+        # aggregate fewer runs than the user asked for
+        raise SystemExit(
+            f"--num_iter {args.num_iter} > {len(all_seeds)} seeds in "
+            f"--random_seeds {args.random_seeds!r}"
+        )
+    seeds = all_seeds[: args.num_iter]
+    if args.save_results:
+        raise SystemExit(
+            "--save_results is not supported by sweep_main (the sweep's "
+            "outputs are the per-cell CSVs under --result_root)"
+        )
+    for flag in ("checkpoint_dir", "resume", "profile_dir"):
+        if getattr(args, flag, None):
+            # inherited from the train parser but not wired through the
+            # sweep driver — rejecting beats silently producing nothing
+            raise SystemExit(
+                f"--{flag} is not supported by sweep_main (per-run "
+                "checkpoints/profiles are a train_main feature)"
+            )
     bundle = bundle_from_files(
         cfg.dataset,
         args.data_dir,
@@ -110,10 +132,8 @@ def main(args):
 
 def _entry():
     """console-script entry point (pyproject.toml)."""
-    import sys
-
     sys.exit(main(extend_parser(build_parser()).parse_args()))
 
 
 if __name__ == "__main__":
-    sys.exit(main(extend_parser(build_parser()).parse_args()))
+    _entry()

@@ -186,10 +186,8 @@ def main(args):
 
 def _entry():
     """console-script entry point (pyproject.toml)."""
-    import sys
-
     sys.exit(main(build_parser().parse_args()))
 
 
 if __name__ == "__main__":
-    sys.exit(main(build_parser().parse_args()))
+    _entry()

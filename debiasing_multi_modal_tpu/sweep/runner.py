@@ -196,6 +196,18 @@ def run_sweep(
     )
     all_results = {}
 
+    def _cell_done(path):
+        """A cell CSV counts as done only if it aggregates THIS seed count:
+        the filename encodes hyperparameters, not seeds (reference naming),
+        so a re-run with more seeds must not silently keep a smaller CSV.
+        (Same-count different-seed re-runs still need a fresh
+        --result_root — the CSV carries no seed identities.)"""
+        if not os.path.isfile(path):
+            return False
+        with open(path) as f:
+            data_lines = sum(1 for _ in f) - 1
+        return data_lines == 5 * (len(seeds) + 2)
+
     def _run_stacked(cfg0, grid_cfgs):
         """One vmapped program over (cells x seeds); per-cell CSVs."""
         if skip_existing:
@@ -204,9 +216,7 @@ def run_sweep(
             grid_cfgs = [
                 c
                 for c in grid_cfgs
-                if not os.path.isfile(
-                    os.path.join(result_root, cell_filename(c))
-                )
+                if not _cell_done(os.path.join(result_root, cell_filename(c)))
             ]
             if not grid_cfgs:
                 return
@@ -265,7 +275,7 @@ def run_sweep(
                 for lr in lr_values:
                     cfg = _cell_cfg(cfg0, lr)
                     path = os.path.join(result_root, cell_filename(cfg))
-                    if skip_existing and os.path.isfile(path):
+                    if skip_existing and _cell_done(path):
                         continue
                     results = run_seeds(
                         cfg, bundle, seeds, use_vmap=use_vmap,

@@ -47,13 +47,27 @@ def save_checkpoint(
     with open(os.path.join(step_dir, "host_meta.json"), "w") as f:
         json.dump(meta, f)
 
-    steps = sorted(
+    import shutil
+
+    all_dirs = sorted(
         d for d in os.listdir(directory)
         if d.startswith("ep") and os.path.isdir(os.path.join(directory, d))
     )
-    for old in steps[:-keep]:
-        import shutil
-
+    # prune by COMPLETE checkpoints only: counting half-written dirs (crash
+    # between the Orbax save and host_meta.json) toward `keep` would delete
+    # complete checkpoints while the corrupt dirs survive — crash
+    # protection silently dropping below `keep`.  Incomplete dirs older
+    # than the one just written are junk; remove them too.
+    complete = [
+        d for d in all_dirs
+        if os.path.isfile(os.path.join(directory, d, "host_meta.json"))
+    ]
+    doomed = set(complete[:-keep])
+    doomed.update(
+        d for d in all_dirs
+        if d not in complete and d != f"ep{epoch:05d}"
+    )
+    for old in doomed:
         shutil.rmtree(os.path.join(directory, old))
 
 

@@ -126,3 +126,26 @@ def test_latest_checkpoint_pruning(tmp_path, bundle):
     steps = sorted(os.listdir(ckdir))
     assert len(steps) == 2
     assert latest_checkpoint(ckdir).endswith("ep00005")
+
+
+def test_pruning_ignores_half_written_dirs(tmp_path, bundle):
+    """Half-written step dirs (no host_meta.json) must not count toward
+    `keep`: a corrupt dir surviving while a complete checkpoint is deleted
+    silently drops crash protection below keep=2.  Junk dirs are removed."""
+    import os
+
+    from debiasing_multi_modal_tpu.train.checkpoint import latest_checkpoint
+
+    ckdir = tmp_path / "ck"
+    # two stale half-written dirs sorting NEWER than real progress
+    (ckdir / "ep00040").mkdir(parents=True)
+    (ckdir / "ep00050").mkdir()
+    cfg = TrainConfig(tl_method="adapter", epochs=4, **BASE)
+    train_all_epochs(
+        cfg, bundle, verbose=False, checkpoint_dir=str(ckdir),
+        checkpoint_every=1,
+    )
+    steps = sorted(os.listdir(ckdir))
+    # the two newest COMPLETE checkpoints survive; junk dirs are gone
+    assert steps == ["ep00003", "ep00004"], steps
+    assert latest_checkpoint(str(ckdir)).endswith("ep00004")

@@ -235,3 +235,31 @@ def test_extract_cli_tensor_parallel(tmp_path, monkeypatch):
         b["embeddings"], a["embeddings"], rtol=2e-5, atol=2e-5
     )
     np.testing.assert_array_equal(b["y_pred"], a["y_pred"])
+
+
+def test_sweep_cli_rejects_unwired_flags(tmp_path):
+    """num_iter beyond the seed list, and train-only flags, must fail loudly
+    instead of silently truncating the sweep / producing nothing."""
+    import pytest
+
+    from debiasing_multi_modal_tpu.cli.sweep_main import extend_parser
+    from debiasing_multi_modal_tpu.cli.train_main import build_parser
+    from debiasing_multi_modal_tpu.cli import sweep_main
+
+    req = [
+        "--data_dir", str(tmp_path),
+        "--image_embedding_dir", "e.npz", "--text_embedding_dir", "t.json",
+        "--text_group_embedding_dir", "g.json",
+        "--text_spurious_embedding_dir", "s.json",
+    ]
+
+    def run(extra):
+        args = extend_parser(build_parser()).parse_args(req + extra)
+        sweep_main.main(args)
+
+    with pytest.raises(SystemExit, match="num_iter"):
+        run(["--num_iter", "5", "--random_seeds", "42,32"])
+    with pytest.raises(SystemExit, match="checkpoint_dir"):
+        run(["--checkpoint_dir", "x"])
+    with pytest.raises(SystemExit, match="save_results"):
+        run(["--save_results"])
