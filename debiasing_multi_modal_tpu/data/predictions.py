@@ -23,7 +23,17 @@ def save_predictions(path: str, filenames, preds) -> None:
 def load_predictions(path: str) -> Dict[str, int]:
     out: Dict[str, int] = {}
     with open(path, newline="") as f:
-        for row in csv.DictReader(f):
+        reader = csv.DictReader(f)
+        if reader.fieldnames is None or not {
+            "image_id", "prediction"
+        } <= set(reader.fieldnames):
+            # empty/truncated CSV: fail here naming the file, not later as
+            # a bare KeyError in predictions_vector
+            raise ValueError(
+                f"{path}: not a prediction CSV "
+                f"(header {reader.fieldnames!r}, need image_id,prediction)"
+            )
+        for row in reader:
             out[row["image_id"]] = int(row["prediction"])
     return out
 

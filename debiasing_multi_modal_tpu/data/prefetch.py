@@ -37,6 +37,9 @@ def prefetch(
     """
     if depth <= 0:
         return iter(iterable)
+    if num_threads < 1:
+        # silently yielding an empty stream would look like "no data"
+        raise ValueError(f"num_threads must be >= 1, got {num_threads}")
     if num_threads == 1:
         return _prefetch_threads(iter(iterable), depth, 1, locked=False)
     return _prefetch_threads(iter(iterable), depth, num_threads, locked=True)
@@ -76,13 +79,13 @@ def _prefetch_threads(src, depth, num_threads, locked):
         finally:
             _put(_SENTINEL)
 
-    threads = [
-        threading.Thread(target=worker, daemon=True) for _ in range(num_threads)
-    ]
-    for t in threads:
-        t.start()
-
     def consume():
+        # start producers LAZILY, inside the generator body: if the caller
+        # abandons the returned generator before its first next(), no
+        # worker was started, so nothing spins on timed puts forever (the
+        # finally below only runs once the body has been entered)
+        for _ in range(num_threads):
+            threading.Thread(target=worker, daemon=True).start()
         finished = 0
         try:
             while finished < num_threads:

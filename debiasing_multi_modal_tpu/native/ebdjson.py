@@ -19,7 +19,6 @@ _NATIVE_DIR = os.path.join(
     "native",
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libebdjson.so")
-_JSON_KEYS = {"waterbirds": ("y", "place"), "celeba": ("blond", "male")}
 
 _lock = threading.Lock()
 _lib = None
@@ -77,23 +76,37 @@ def _load_lib():
 
 def load_embeddings_json(path: str, dataset: str):
     """Parse a clip.json cache into an EmbeddingTable via the C++ parser."""
-    from debiasing_multi_modal_tpu.data.embeddings_store import EmbeddingTable
+    from debiasing_multi_modal_tpu.data.embeddings_store import (
+        _JSON_KEYS,  # ONE schema table — a private copy here diverged once
+        EmbeddingTable,
+    )
 
     ykey, pkey = _JSON_KEYS[dataset]
     lib = _load_lib()
     handle = lib.ebd_parse(
         path.encode(), ykey.encode(), pkey.encode()
     )
+    if not handle:
+        # allocation failed even for the error Table (native OOM guard)
+        raise MemoryError("ebdjson: native parser out of memory")
     try:
         err = lib.ebd_error(handle)
         if err:
             raise ValueError(f"ebdjson: {err.decode()}")
         n = lib.ebd_n(handle)
         d = lib.ebd_dim(handle)
-        emb = np.ctypeslib.as_array(lib.ebd_embeddings(handle), shape=(n, d)).copy()
+
+        def as_np(ptr, shape, dtype):
+            # an empty std::vector's data() is NULL — as_array would raise
+            # on a perfectly valid empty table
+            if n == 0 or not ptr:
+                return np.zeros(shape, dtype)
+            return np.ctypeslib.as_array(ptr, shape=shape).astype(dtype, copy=True)
+
+        emb = as_np(lib.ebd_embeddings(handle), (n, d), np.float32)
 
         def col(fn):
-            return np.ctypeslib.as_array(fn(handle), shape=(n,)).copy()
+            return as_np(fn(handle), (n,), np.int32)
 
         filenames = np.asarray(
             [lib.ebd_filename(handle, i).decode() for i in range(n)]
@@ -114,6 +127,8 @@ def load_embeddings_json(path: str, dataset: str):
 def save_embeddings_json(path: str, table, dataset: str) -> None:
     """Serialize an EmbeddingTable into the reference clip.json schema via
     the C++ writer."""
+    from debiasing_multi_modal_tpu.data.embeddings_store import _JSON_KEYS
+
     ykey, pkey = _JSON_KEYS[dataset]
     lib = _load_lib()
 

@@ -223,6 +223,12 @@ class ClipTokenizer:
         text = _clean_text(text)
         ids: List[int] = []
         for match in self._pattern.findall(text):
+            if match in ("<|startoftext|>", "<|endoftext|>"):
+                # the reference pre-seeds its BPE cache with the specials
+                # (simple_tokenizer.py:69-70), so a LITERAL special token in
+                # input text maps to its single id, not byte-BPE fragments
+                ids.append(self.token_to_id[match])
+                continue
             mapped = "".join(self._byte_to_sym[b] for b in match.encode("utf-8"))
             for piece in self._bpe_word(mapped):
                 ids.append(self.token_to_id[piece])

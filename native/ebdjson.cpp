@@ -48,8 +48,42 @@ struct Cursor {
   }
 };
 
-// Parse a JSON string (no full escape handling beyond \" \\ \/ — the schema's
-// keys are filenames and fixed field names).
+// Hex quartet -> code unit; returns false on malformed input.
+bool parse_u16(Cursor& c, uint32_t& u) {
+  if (c.end - c.p < 4) return false;
+  u = 0;
+  for (int i = 0; i < 4; ++i) {
+    char h = *c.p++;
+    u <<= 4;
+    if (h >= '0' && h <= '9') u |= static_cast<uint32_t>(h - '0');
+    else if (h >= 'a' && h <= 'f') u |= static_cast<uint32_t>(h - 'a' + 10);
+    else if (h >= 'A' && h <= 'F') u |= static_cast<uint32_t>(h - 'A' + 10);
+    else return false;
+  }
+  return true;
+}
+
+void append_utf8(std::string& out, uint32_t cp) {
+  if (cp < 0x80) {
+    out.push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+// Parse a JSON string with FULL escape handling: the reference writes
+// clip.json via json.dump(ensure_ascii=True), which \uXXXX-escapes every
+// non-ASCII filename byte — mishandling those silently corrupted keys.
 bool parse_string(Cursor& c, std::string& out) {
   if (!c.expect('"')) return false;
   out.clear();
@@ -61,6 +95,23 @@ bool parse_string(Cursor& c, std::string& out) {
       switch (esc) {
         case 'n': out.push_back('\n'); break;
         case 't': out.push_back('\t'); break;
+        case 'r': out.push_back('\r'); break;
+        case 'b': out.push_back('\b'); break;
+        case 'f': out.push_back('\f'); break;
+        case 'u': {
+          uint32_t u;
+          if (!parse_u16(c, u)) return false;
+          if (u >= 0xD800 && u <= 0xDBFF) {  // high surrogate
+            if (c.end - c.p < 6 || c.p[0] != '\\' || c.p[1] != 'u')
+              return false;
+            c.p += 2;
+            uint32_t lo;
+            if (!parse_u16(c, lo) || lo < 0xDC00 || lo > 0xDFFF) return false;
+            u = 0x10000 + ((u - 0xD800) << 10) + (lo - 0xDC00);
+          }
+          append_utf8(out, u);
+          break;
+        }
         default: out.push_back(esc); break;
       }
     } else {
@@ -185,6 +236,10 @@ Table* parse_impl(const char* data, size_t len, const char* ykey_c,
     }
     t->filenames.push_back(key);
     int32_t y = -1, place = -1, group = -1, split = -1, y_pred = -1;
+    // required-field tracking: silently defaulting an absent label to -1
+    // masked schema mismatches the Python loader reports as KeyError
+    bool seen_y = false, seen_p = false, seen_g = false, seen_s = false,
+         seen_yp = false, seen_emb = false;
     size_t emb_start = t->embeddings.size();
     if (c.peek() != '}') {
       while (true) {
@@ -195,16 +250,22 @@ Table* parse_impl(const char* data, size_t len, const char* ykey_c,
         bool ok;
         if (field == "image_embedding") {
           ok = parse_float_array(c, t->embeddings);
+          seen_emb = true;
         } else if (field == ykey) {
           ok = parse_label(c, y);
+          seen_y = true;
         } else if (field == pkey) {
           ok = parse_label(c, place);
+          seen_p = true;
         } else if (field == "group") {
           ok = parse_label(c, group);
+          seen_g = true;
         } else if (field == "split") {
           ok = parse_label(c, split);
+          seen_s = true;
         } else if (field == "y_pred") {
           ok = parse_label(c, y_pred);
+          seen_yp = true;
         } else {
           ok = skip_value(c);
         }
@@ -227,6 +288,12 @@ Table* parse_impl(const char* data, size_t len, const char* ykey_c,
       }
     } else {
       ++c.p;
+    }
+    if (!(seen_y && seen_p && seen_g && seen_s && seen_yp && seen_emb)) {
+      t->error = "record '" + key + "' is missing required fields (schema "
+                 "mismatch? expected " + std::string(ykey) + "/" + pkey +
+                 "/group/split/y_pred/image_embedding)";
+      return t;
     }
     int64_t d = static_cast<int64_t>(t->embeddings.size() - emb_start);
     if (t->dim < 0) t->dim = d;
@@ -258,11 +325,11 @@ extern "C" {
 
 // Serialize the reference clip.json schema from contiguous arrays.
 // filenames: concatenated NUL-separated strings. Returns 0 on success.
-int ebd_write(const char* path, const char* ykey, const char* pkey,
-              const char* filenames, const int32_t* y, const int32_t* place,
-              const int32_t* group, const int32_t* split,
-              const int32_t* y_pred, const float* embeddings, int64_t n,
-              int64_t dim) {
+int ebd_write_impl(const char* path, const char* ykey, const char* pkey,
+                   const char* filenames, const int32_t* y,
+                   const int32_t* place, const int32_t* group,
+                   const int32_t* split, const int32_t* y_pred,
+                   const float* embeddings, int64_t n, int64_t dim) {
   FILE* f = fopen(path, "wb");
   if (!f) return 1;
   std::string out;
@@ -273,7 +340,20 @@ int ebd_write(const char* path, const char* ykey, const char* pkey,
   for (int64_t i = 0; i < n; ++i) {
     if (i) out.push_back(',');
     out.push_back('"');
-    out.append(fn);
+    // escape like json.dump: a raw '"' or '\\' in a filename would emit
+    // invalid JSON (asymmetric with the pure-Python writer)
+    for (const char* s = fn; *s; ++s) {
+      unsigned char uc = static_cast<unsigned char>(*s);
+      if (*s == '"' || *s == '\\') {
+        out.push_back('\\');
+        out.push_back(*s);
+      } else if (uc < 0x20) {
+        int len = snprintf(num, sizeof(num), "\\u%04x", uc);
+        out.append(num, len);
+      } else {
+        out.push_back(*s);
+      }
+    }
     fn += strlen(fn) + 1;
     out.append("\": {\"");
     out.append(ykey);
@@ -307,11 +387,13 @@ int ebd_write(const char* path, const char* ykey, const char* pkey,
   }
   out.push_back('}');
   int rc = fwrite(out.data(), 1, out.size(), f) == out.size() ? 0 : 2;
-  fclose(f);
+  // fclose flushes the FILE* buffer: an ENOSPC at flush time must not be
+  // reported as success (a truncated cache written 'cleanly')
+  if (fclose(f) != 0 && rc == 0) rc = 2;
   return rc;
 }
 
-void* ebd_parse(const char* path, const char* ykey, const char* pkey) {
+void* ebd_parse_impl(const char* path, const char* ykey, const char* pkey) {
   FILE* f = fopen(path, "rb");
   if (!f) {
     auto* t = new Table();
@@ -330,6 +412,37 @@ void* ebd_parse(const char* path, const char* ykey, const char* pkey) {
     return t;
   }
   return parse_impl(buf.data(), buf.size(), ykey, pkey);
+}
+
+// C++ exceptions (bad_alloc from multi-GB buffers, length_error) must not
+// unwind through the ctypes frame — that calls std::terminate and aborts
+// the whole Python process; catch at the ABI boundary instead so the
+// documented pure-Python fallback can engage.
+int ebd_write(const char* path, const char* ykey, const char* pkey,
+              const char* filenames, const int32_t* y, const int32_t* place,
+              const int32_t* group, const int32_t* split,
+              const int32_t* y_pred, const float* embeddings, int64_t n,
+              int64_t dim) {
+  try {
+    return ebd_write_impl(path, ykey, pkey, filenames, y, place, group,
+                          split, y_pred, embeddings, n, dim);
+  } catch (...) {
+    return 3;
+  }
+}
+
+void* ebd_parse(const char* path, const char* ykey, const char* pkey) {
+  try {
+    return ebd_parse_impl(path, ykey, pkey);
+  } catch (...) {
+    try {
+      auto* t = new Table();
+      t->error = "native parser exception (out of memory?)";
+      return t;
+    } catch (...) {
+      return nullptr;  // binding treats NULL as native-path failure
+    }
+  }
 }
 
 const char* ebd_error(void* h) {

@@ -116,3 +116,61 @@ def test_native_writer_roundtrip(tmp_path):
     rec = next(iter(raw.values()))
     assert set(rec) == {"y", "place", "group", "split", "image_embedding", "y_pred"}
     assert isinstance(rec["y"], str)
+
+
+def test_native_parser_unicode_escapes_and_missing_fields(tmp_path):
+    """\\uXXXX-escaped filenames (json.dump ensure_ascii) decode correctly,
+    and a schema-mismatched record fails loudly instead of silently
+    defaulting labels to -1."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from debiasing_multi_modal_tpu.native.ebdjson import load_embeddings_json
+
+    rec = {
+        "y": "1", "place": "0", "group": "2", "split": "0", "y_pred": "1",
+        "image_embedding": [0.5, -0.25],
+    }
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"café/\U0001f426.jpg": rec}))  # ensure_ascii
+    table = load_embeddings_json(str(good), "waterbirds")
+    assert table.filenames[0] == "café/\U0001f426.jpg"
+    np.testing.assert_allclose(table.embeddings[0], [0.5, -0.25])
+
+    # celeba-keyed record parsed as waterbirds: y/place absent -> loud error
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "a.jpg": {"blond": "1", "male": "0", "group": "2", "split": "0",
+                  "y_pred": "1", "image_embedding": [0.0]},
+    }))
+    with pytest.raises(ValueError, match="missing required fields"):
+        load_embeddings_json(str(bad), "waterbirds")
+
+
+def test_native_writer_escapes_quotes(tmp_path):
+    """Filenames containing quotes/backslashes round-trip as valid JSON."""
+    import json
+
+    import numpy as np
+
+    from debiasing_multi_modal_tpu.data.embeddings_store import EmbeddingTable
+    from debiasing_multi_modal_tpu.native.ebdjson import (
+        load_embeddings_json,
+        save_embeddings_json,
+    )
+
+    name = 'odd"name\\with.jpg'
+    table = EmbeddingTable(
+        filenames=np.asarray([name]),
+        y=np.asarray([1], np.int32), place=np.asarray([0], np.int32),
+        group=np.asarray([2], np.int32), split=np.asarray([0], np.int32),
+        y_pred=np.asarray([1], np.int32),
+        embeddings=np.asarray([[0.125, 2.0]], np.float32),
+    )
+    path = tmp_path / "t.json"
+    save_embeddings_json(str(path), table, "waterbirds")
+    json.loads(path.read_text())  # stdlib accepts it
+    back = load_embeddings_json(str(path), "waterbirds")
+    assert back.filenames[0] == name

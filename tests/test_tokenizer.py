@@ -90,6 +90,10 @@ def test_parity_with_reference_bpe():
             "café naïve résumé",
             "snake_case and CamelCase and kebab-case",
             "supercalifragilisticexpialidocious",
+            # literal special tokens map to their single ids (the reference
+            # pre-seeds its BPE cache, simple_tokenizer.py:69-70)
+            "a photo of a <|endoftext|> bird.",
+            "<|startoftext|>hello",
             "",
         ]
     )
