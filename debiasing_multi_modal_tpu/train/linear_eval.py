@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from debiasing_multi_modal_tpu.train.losses import masked_cross_entropy
-from debiasing_multi_modal_tpu.train.steps import _sgd
+from debiasing_multi_modal_tpu.train.steps import _sgd, ones_mask
 
 
 @functools.partial(
@@ -27,6 +27,8 @@ from debiasing_multi_modal_tpu.train.steps import _sgd
 )
 def _linear_epoch(params, trace, feats, labels, idx, mask, lrs, *,
                   momentum, weight_decay):
+    mask_tree = ones_mask(params)
+
     def body(carry, xs):
         p, t, correct, total = carry
         b_idx, b_mask, lr = xs
@@ -38,7 +40,6 @@ def _linear_epoch(params, trace, feats, labels, idx, mask, lrs, *,
             return masked_cross_entropy(logits, y, b_mask), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-        mask_tree = jax.tree.map(lambda _: jnp.float32(1.0), p)
         p, t = _sgd(p, grads, t, lr, momentum, weight_decay, mask_tree)
         hit = ((jnp.argmax(logits, -1) == y) & b_mask).sum()
         return (p, t, correct + hit, total + b_mask.sum()), loss
@@ -59,9 +60,28 @@ def linear_probe(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     seed: int = 42,
+    lr_decay_epochs: Tuple[int, ...] = (),
+    lr_decay_rate: float = 0.1,
+    cosine: bool = False,
+    warm: bool = False,
 ) -> Tuple[dict, float]:
-    """Train a linear head on frozen features; returns (params, train acc)."""
+    """Train a linear head on frozen features; returns (params, train acc).
+
+    The reference schedules (``adjust_learning_rate`` step/cosine decay +
+    ``warmup_learning_rate``, workspace/jinsu/lin_eval.py via demo/util.py)
+    apply when their knobs are set; the defaults train at constant lr."""
     from debiasing_multi_modal_tpu.data.samplers import epoch_plan
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.schedules import epoch_batch_lrs
+
+    sched_cfg = TrainConfig(
+        tl_method="linear_probing", epochs=epochs,
+        learning_rate=learning_rate,
+        lr_decay_epochs=tuple(lr_decay_epochs) or (epochs + 1,),
+        lr_decay_rate=lr_decay_rate, cosine=cosine,
+        warm=warm,  # warm_epochs/warmup_from/to derive per the reference
+        batch_size=batch_size, input_dim=int(features.shape[1]),
+    )
 
     rng = np.random.default_rng(seed)
     d = features.shape[1]
@@ -73,9 +93,11 @@ def linear_probe(
     feats = jnp.asarray(features, jnp.float32)
     labs = jnp.asarray(labels, jnp.int32)
     acc = 0.0
-    for _ in range(epochs):
+    for epoch in range(1, epochs + 1):
         plan = epoch_plan(len(features), batch_size, shuffle=True, rng=rng)
-        lrs = jnp.full((plan.num_batches,), learning_rate, jnp.float32)
+        lrs = jnp.asarray(
+            epoch_batch_lrs(sched_cfg, epoch, plan.num_batches, phase=1)
+        )
         params, trace, acc, _ = _linear_epoch(
             params, trace, feats, labs,
             jnp.asarray(plan.indices), jnp.asarray(plan.mask), lrs,

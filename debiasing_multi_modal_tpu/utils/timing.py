@@ -55,13 +55,22 @@ def measure_download_ms(make_outputs, iters: int = 3) -> float:
     call: jax.Array caches its fetched host copy (``_npy_value``), so timing
     repeated ``np.asarray`` of one array measures a cache hit, not D2H —
     an ~iters-fold underreport (round-3 review finding)."""
+    # the pre-timing compute barrier is a dependent-SCALAR fetch, not
+    # block_until_ready (this module's own header: not reliable over the
+    # tunnel — a residual-compute wait would be billed to D2H)
+    barrier = jax.jit(
+        lambda *xs: sum(
+            x.reshape(-1)[0].astype(jnp.float32) for x in xs
+        )
+    )
+
     outs = make_outputs()
-    jax.block_until_ready(outs)
+    float(barrier(*outs))
     [np.asarray(o) for o in outs]  # warm any lazy layout work
     total = 0.0
     for _ in range(iters):
         outs = make_outputs()
-        jax.block_until_ready(outs)  # exclude compute; D2H starts cold
+        float(barrier(*outs))  # exclude compute; D2H starts cold
         t0 = time.perf_counter()
         [np.asarray(o) for o in outs]
         total += time.perf_counter() - t0

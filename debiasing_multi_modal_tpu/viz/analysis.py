@@ -41,8 +41,17 @@ def adapted_embeddings(
         )
     )
     out = []
-    for start in range(0, len(embeddings), batch_size):
-        out.append(np.asarray(apply(jnp.asarray(embeddings[start : start + batch_size]))))
+    n = len(embeddings)
+    for start in range(0, n, batch_size):
+        batch = embeddings[start : start + batch_size]
+        pad = batch_size - len(batch)
+        if pad:
+            # fixed shapes under jit: a ragged final batch would retrace
+            # (+~10 s compile over the tunnel); pad and slice the result
+            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
+                                                    batch.dtype)])
+        res = np.asarray(apply(jnp.asarray(batch)))
+        out.append(res[: batch_size - pad] if pad else res)
     return np.concatenate(out, axis=0)
 
 
@@ -149,8 +158,12 @@ def nearest_averaged(embeddings: np.ndarray, query: np.ndarray, k: int = 10) -> 
     reference's text-prompt anchoring (find_closest_sample, visualizer.py:
     19-27 + plot_umap_all:446-458: text features are replaced by the average
     of their nearest images before entering the projection pool)."""
-    e = embeddings / np.linalg.norm(embeddings, axis=1, keepdims=True)
-    q = query / np.linalg.norm(query)
+    # zero rows happen (ReLU-MLP adapted features can die); 0/0 NaNs would
+    # poison the anchor means and thence the whole joint projection
+    e = embeddings / np.maximum(
+        np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12
+    )
+    q = query / max(float(np.linalg.norm(query)), 1e-12)
     sims = e @ q
     top = np.argsort(sims)[::-1][: min(k, len(embeddings))]
     return embeddings[top].mean(axis=0)

@@ -69,9 +69,15 @@ def plot_splits(
             m = labels == value
             if not m.any():
                 continue
-            ax.scatter(pts[m, 0], pts[m, 1], s=6, alpha=0.5, label=text)
+            # one explicit cycle color per group: an unlabeled star scatter
+            # would ADVANCE the color cycle, drawing every centroid in the
+            # NEXT group's color
+            color = f"C{int(value) % 10}"
+            ax.scatter(pts[m, 0], pts[m, 1], s=6, alpha=0.5, label=text,
+                       color=color)
             centroid = pts[m].mean(axis=0)
-            ax.scatter(*centroid, s=120, marker="*", edgecolor="black", zorder=5)
+            ax.scatter(*centroid, s=120, marker="*", color=color,
+                       edgecolor="black", zorder=5)
         if text_embeddings is not None:
             for c, temb in enumerate(text_embeddings):
                 anchor = nearest_sample(emb, temb)

@@ -122,13 +122,18 @@ class UMAP:
 
         a, b, d = _A, _B, self.n_components
         for epoch in range(1, self.n_epochs + 1):
-            alpha = self.learning_rate * (1.0 - epoch / self.n_epochs)
+            # (epoch-1)/n keeps the LAST epoch's alpha nonzero (umap-learn
+            # counts epochs from 0 — an alpha=0 epoch is pure wasted work)
+            alpha = self.learning_rate * (1.0 - (epoch - 1.0) / self.n_epochs)
             active = next_epoch <= epoch
             if not active.any():
                 continue
             hi, ti = head[active], tail[active]
             diff = emb[hi] - emb[ti]
-            dist2 = (diff ** 2).sum(axis=1)
+            # coincident points (duplicate pool rows happen: an empty group's
+            # mean vector equals the full mean) would hit 0**(b-1) = inf and
+            # NaN the whole embedding; umap-learn guards dist2 == 0 the same
+            dist2 = np.maximum((diff ** 2).sum(axis=1), 1e-12)
             # attractive gradient coefficient
             grad_coeff = (-2.0 * a * b * dist2 ** (b - 1.0)) / (
                 a * dist2 ** b + 1.0
@@ -140,7 +145,7 @@ class UMAP:
             for _ in range(self.negative_sample_rate):
                 neg = rng.integers(0, n, size=len(hi))
                 diff = emb[hi] - emb[neg]
-                dist2 = (diff ** 2).sum(axis=1)
+                dist2 = np.maximum((diff ** 2).sum(axis=1), 1e-12)
                 rep = (2.0 * b) / ((0.001 + dist2) * (a * dist2 ** b + 1.0))
                 g = np.clip(rep[:, None] * diff, -4.0, 4.0)
                 np.add.at(emb, hi, alpha * g)

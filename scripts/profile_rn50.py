@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.utils.timing import (
+    chain_time as _chain_time_ms,
+)
 import numpy as np
 
 from debiasing_multi_modal_tpu.models import create_clip
@@ -29,25 +33,10 @@ ITERS = 16
 
 
 def chain_time(fn, *args):
-    """Mean seconds per call: the proven bench.py pattern — one program per
-    call threading a scalar accumulator (its data dependency defeats CSE and
-    orders the chain; async dispatch pipelines the tunnel latency away), one
-    host fetch at the end as the barrier."""
-
-    @jax.jit
-    def prog(acc, *args):
-        out = fn(*args)
-        return acc + jax.tree.leaves(out)[0].astype(jnp.float32).mean()
-
-    acc = prog(jnp.float32(0.0), *args)
-    acc = prog(acc, *args)
-    float(acc)  # compile + warm
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for _ in range(ITERS):
-        acc = prog(acc, *args)
-    float(acc)
-    return (time.perf_counter() - t0) / ITERS
+    """Mean seconds per call — the shared accumulator-chain
+    harness (utils/timing.py), so the measured-barrier policy has
+    exactly one implementation across every perf script."""
+    return _chain_time_ms(fn, *args, iters=ITERS) / 1e3
 
 
 from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache

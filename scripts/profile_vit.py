@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.utils.timing import (
+    chain_time as _chain_time_ms,
+)
 import numpy as np
 
 from debiasing_multi_modal_tpu.models import create_clip
@@ -33,20 +37,10 @@ VIT_GF_PER_IMG = 9.1e9  # XLA cost analysis (docs/DESIGN.md §1)
 
 
 def chain_time(fn, *args):
-    @jax.jit
-    def prog(acc, *args):
-        out = fn(*args)
-        return acc + jax.tree.leaves(out)[0].astype(jnp.float32).mean()
-
-    acc = prog(jnp.float32(0.0), *args)
-    acc = prog(acc, *args)
-    float(acc)  # compile + warm
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for _ in range(ITERS):
-        acc = prog(acc, *args)
-    float(acc)
-    return (time.perf_counter() - t0) / ITERS
+    """Mean seconds per call — the shared accumulator-chain
+    harness (utils/timing.py), so the measured-barrier policy has
+    exactly one implementation across every perf script."""
+    return _chain_time_ms(fn, *args, iters=ITERS) / 1e3
 
 
 from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
