@@ -140,10 +140,14 @@ def main(args):
     emb_root = os.path.join(args.data_dir, args.embedding_dir, args.dataset)
     if args.save:
         os.makedirs(emb_root, exist_ok=True)
+        tpp = len(prompts.templates)
         for kind in ("class", "spurious", "group"):
+            # text[kind] has ONE pooled row per phrase; with a multi-template
+            # set, key each row by its FIRST template's rendering (the
+            # reference always runs one template, clip_inference.py:63-74)
             save_text_embeddings(
                 os.path.join(emb_root, f"clip_{kind}.json"),
-                prompts.prompts(kind),
+                list(prompts.prompts(kind))[::tpp],
                 text[kind],
             )
             print(f"save text emb ({kind})")

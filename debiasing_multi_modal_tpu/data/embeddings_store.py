@@ -119,13 +119,14 @@ def save_embeddings(
             embeddings=table.embeddings.astype(np.float32),
         )
     elif fmt == "json":
+        native_err = None
         try:
             from debiasing_multi_modal_tpu.native import ebdjson
 
             ebdjson.save_embeddings_json(path, table, dataset)
             return
-        except Exception:
-            pass  # fall through to the pure-Python writer
+        except Exception as e:  # fall through to the pure-Python writer
+            native_err = e
         ykey, pkey = _JSON_KEYS[dataset]
         out = {}
         for i, fn in enumerate(table.filenames):
@@ -137,8 +138,16 @@ def save_embeddings(
                 "image_embedding": [float(v) for v in table.embeddings[i]],
                 "y_pred": str(int(table.y_pred[i])),
             }
-        with open(path, "w") as f:
-            json.dump(out, f)
+        try:
+            with open(path, "w") as f:
+                json.dump(out, f)
+        except Exception as py_err:
+            # keep the native diagnostic too (mirrors load_embeddings)
+            if native_err is not None:
+                raise RuntimeError(
+                    f"native writer: {native_err}; python writer: {py_err!r}"
+                ) from py_err
+            raise
     else:
         raise ValueError(f"unknown format {fmt!r}")
 
@@ -220,7 +229,16 @@ def load_embeddings(
 
 def save_text_embeddings(path: str, prompts, embeddings: np.ndarray):
     """Write the {prompt: [D floats]} dict of clip_{class,spurious,group}.json
-    (clip_inference.py:97-106).  ``embeddings`` is [C, D], un-normalized."""
+    (clip_inference.py:97-106).  ``embeddings`` is [C, D], un-normalized —
+    ONE row per prompt string (multi-template sets must pass one
+    representative prompt per pooled row, see cli/extract_main.py)."""
+    prompts = list(prompts)
+    if len(prompts) != len(embeddings):
+        # a silent zip truncation would key the wrong phrase to the wrong
+        # embedding in the reference-interchange JSON
+        raise ValueError(
+            f"{len(prompts)} prompts vs {len(embeddings)} embedding rows"
+        )
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     out = {p: [float(v) for v in emb] for p, emb in zip(prompts, embeddings)}
     with open(path, "w") as f:

@@ -104,12 +104,24 @@ class TrainConfig:
             # row to read (the reference's range(1, epochs+1) silently does
             # nothing and then crashes saving results)
             raise ValueError("epochs must be >= 1")
-        if self.tl_method == "adapter":
-            assert not self.add_adapter and not self.balance_val, (
-                "plain adapter excludes add_adapter/balance_val (parse_option parity)"
+        if self.tl_method == "adapter" and (self.add_adapter or self.balance_val):
+            # ValueError, not assert: python -O strips asserts and would
+            # admit a configuration the reference forbids
+            raise ValueError(
+                "plain adapter excludes add_adapter/balance_val "
+                "(parse_option parity)"
             )
+        if self.dataset not in ("waterbirds", "celeba"):
+            # reference parse_option raises for unknown datasets; silently
+            # passing would take waterbirds' warm_epochs_reg=10 branch
+            raise ValueError(f"dataset not supported: {self.dataset!r}")
         if self.is_two_phase and self.epochs_feature_learning is None:
             raise ValueError("sequential methods require epochs_feature_learning")
+        # epochs_feature_learning >= epochs is LEGAL (phase 2 simply never
+        # starts — reference flag space, pinned by
+        # test_more_paths.py::test_feature_learning_spans_all_epochs); the
+        # one real hazard (cosine reg warmup's zero span) raises a clear
+        # error in warmup_to_reg.
 
     # ------------------------------------------------------------ derived --
     @property
@@ -162,13 +174,18 @@ class TrainConfig:
     def warmup_to_reg(self) -> float:
         if self.cosine:
             assert self.epochs_feature_learning is not None
+            span = self.epochs - self.epochs_feature_learning
+            if span <= 0:
+                raise ValueError(
+                    "cosine reg warmup needs epochs_feature_learning < epochs"
+                )
             eta_min = self.learning_rate_reg * (self.lr_decay_rate ** 3)
             return eta_min + (self.learning_rate_reg - eta_min) * (
                 1
                 + math.cos(
                     math.pi
                     * self.warm_epochs_reg
-                    / (self.epochs - self.epochs_feature_learning)
+                    / span
                 )
             ) / 2
         return self.learning_rate_reg

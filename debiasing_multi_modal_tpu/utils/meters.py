@@ -8,6 +8,7 @@ track epoch-level wall/compute time; ``StepTimer`` wraps arbitrary phases.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Dict, List
 
@@ -38,21 +39,15 @@ class StepTimer:
     def __init__(self):
         self.meters: Dict[str, AverageMeter] = {}
 
+    @contextlib.contextmanager
     def phase(self, name: str):
-        timer = self
-
-        class _Ctx:
-            def __enter__(self):
-                self.t0 = time.perf_counter()
-                return self
-
-            def __exit__(self, *exc):
-                timer.meters.setdefault(name, AverageMeter()).update(
-                    time.perf_counter() - self.t0
-                )
-                return False
-
-        return _Ctx()
+        if name not in self.meters:
+            self.meters[name] = AverageMeter()
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.meters[name].update(time.perf_counter() - t0)
 
     def summary(self) -> str:
         return " ".join(
