@@ -29,7 +29,13 @@ def main(root="results_iterative"):
     cells = []
     for path in sorted(glob.glob(os.path.join(root, "*.csv"))):
         rows = read_cell(path)
-        if "test_mean" not in rows:
+        # a sweep killed mid-write leaves a partial CSV (test rows only);
+        # skip-and-warn instead of KeyError-aborting the whole table
+        required = ("test_mean", "test_std", "zs_spu_mean")
+        missing = [r for r in required if r not in rows]
+        if missing:
+            if rows:
+                print(f"WARNING: skipping truncated {path} (no {missing[0]} row)")
             continue
 
         def get(row, key):

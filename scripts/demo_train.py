@@ -17,7 +17,9 @@ import numpy as np
 
 
 from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+from debiasing_multi_modal_tpu.utils.platform import apply_platform_env
 
+apply_platform_env()
 enable_persistent_cache()
 
 
@@ -63,18 +65,55 @@ def main():
         add_adapter=True, init_near_identity=True, continue_from_best=True,
         balance_val=True, **base,
     )
-    (tr, va, te), (zs_c, zs_s), hist = train_all_epochs(cfg, bundle, verbose=False)
+    ckdir = os.path.join(args.out, "ckpt")
+    (tr, va, te), (zs_c, zs_s), hist = train_all_epochs(
+        cfg, bundle, verbose=False, checkpoint_dir=ckdir, checkpoint_every=0,
+    )
     for i, t in enumerate(hist["test"]):
         marker = " <== phase 2" if i + 1 == args.feature_epochs + 1 else ""
         print(f"epoch {i+1:3d}  test worst {t['worst_acc']:.4f}  mean {t['mean_acc']:.4f}{marker}")
     print("best test:", ordered(te))
     print(f"worst-group: ERM {te_erm['worst_acc']:.4f} -> debiased {te['worst_acc']:.4f}")
 
-    # embedding panels colored by group
+    # embedding panels colored by group: raw AND the trained best model's
+    # adapted features (re-loaded from the final checkpoint — the "after
+    # adaptation" panel the docstring promises)
+    from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
+    from debiasing_multi_modal_tpu.train import checkpoint as ckpt
+    from debiasing_multi_modal_tpu.viz.analysis import adapted_embeddings
+
+    _, tree, meta = ckpt.load_checkpoint(ckpt.latest_checkpoint(ckdir))
+    if "best_params" in tree:
+        bp, bstats = tree["best_params"], tree["best_stats"]
+    else:
+        # degenerate short runs may never improve val-worst; fall back to
+        # the final model (the loop's own degenerate-run fallback)
+        final = tree.get("ma_state", tree["state"])
+        bp, bstats = final["params"], final["batch_stats"]
+    mlp = AdapterMLP(hidden_dim=base["adapter_feat_dim"])
+
+    def _norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+
+    if "old" in bp:  # MultipleAdapter best: the trained 0.5/0.5 blend
+        adapted = 0.5 * _norm(
+            adapted_embeddings(mlp, bp["old"], bstats["old"], table.embeddings)
+        ) + 0.5 * _norm(
+            adapted_embeddings(mlp, bp["new"], bstats["new"], table.embeddings)
+        )
+    else:
+        adapted = adapted_embeddings(
+            mlp, bp["adapter"], bstats["adapter"], table.embeddings
+        )
+
     splits, labels = {}, {}
-    for name, sid in (("train", 0), ("test", 2)):
+    for name, sid, emb in (
+        ("train", 0, table.embeddings),
+        ("test", 2, table.embeddings),
+        ("test (adapted)", 2, adapted),
+    ):
         idx = np.where(table.split == sid)[0]
-        splits[name] = table.embeddings[idx]
+        splits[name] = emb[idx]
         labels[name] = {
             "group": table.group[idx], "target": table.y[idx],
             "spurious": table.place[idx], "prediction": table.y_pred[idx],

@@ -30,6 +30,16 @@ def main():
 
     import jax
 
+    from debiasing_multi_modal_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    from debiasing_multi_modal_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     from debiasing_multi_modal_tpu.data.synthetic import SyntheticSpec, make_synthetic_dataset
     from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
     from debiasing_multi_modal_tpu.viz.analysis import adapted_embeddings, group_stats
@@ -45,19 +55,30 @@ def main():
 
         sd = {k: v.float().numpy() for k, v in torch.load(args.pth, map_location="cpu").items()}
         variables = adapter_variables_from_torch(sd)
-        dim = sd["old_cls.adapter.layers.0.weight"].shape[1]
-        hidden = sd["old_cls.adapter.layers.0.weight"].shape[0]
-        print(f"loaded reference MultipleAdapter checkpoint (D={dim}, hidden={hidden})")
+        multiple = "old" in variables["params"]  # both converter layouts
+        wkey = ("old_cls.adapter.layers.0.weight" if multiple
+                else "adapter.layers.0.weight")
+        dim = sd[wkey].shape[1]
+        hidden = sd[wkey].shape[0]
+        kind = "MultipleAdapter" if multiple else "single-adapter"
+        print(f"loaded {kind} checkpoint (D={dim}, hidden={hidden})")
         # blended adapted features = what the trained classifier normalizes
         mlp_old = AdapterMLP(hidden_dim=hidden)
-        old_vars = {
-            "params": variables["params"]["old"],
-            "batch_stats": variables["batch_stats"]["old"],
-        }
-        new_vars = {
-            "params": variables["params"]["new"],
-            "batch_stats": variables["batch_stats"]["new"],
-        }
+        if multiple:
+            old_vars = {
+                "params": variables["params"]["old"],
+                "batch_stats": variables["batch_stats"]["old"],
+            }
+            new_vars = {
+                "params": variables["params"]["new"],
+                "batch_stats": variables["batch_stats"]["new"],
+            }
+        else:
+            old_vars = {
+                "params": variables["params"]["adapter"],
+                "batch_stats": variables["batch_stats"]["adapter"],
+            }
+            new_vars = None
     else:
         print("reference .pth not found; demo uses an untrained adapter")
         dim, hidden = 64, 16
@@ -65,17 +86,22 @@ def main():
     meta, table, tc, tg, ts = make_synthetic_dataset(SyntheticSpec(dim=dim, seed=3))
 
     def norm_rows(m):
-        return m / np.linalg.norm(m, axis=-1, keepdims=True)
+        # zero-row guard mirrors viz/analysis.py: a dead ReLU-MLP row would
+        # 0/0-NaN the group stats and the joint projection
+        return m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
 
     raw = table.embeddings
     if use_reference:
         old_feats = adapted_embeddings(
             mlp_old, old_vars["params"], old_vars["batch_stats"], raw
         )
-        new_feats = adapted_embeddings(
-            mlp_old, new_vars["params"], new_vars["batch_stats"], raw
-        )
-        adapted = 0.5 * norm_rows(old_feats) + 0.5 * norm_rows(new_feats)
+        if new_vars is not None:
+            new_feats = adapted_embeddings(
+                mlp_old, new_vars["params"], new_vars["batch_stats"], raw
+            )
+            adapted = 0.5 * norm_rows(old_feats) + 0.5 * norm_rows(new_feats)
+        else:
+            adapted = norm_rows(old_feats)
     else:
         mlp = AdapterMLP(hidden_dim=hidden)
         import jax.numpy as jnp
@@ -118,6 +144,14 @@ def main():
     )
 
     adapted_n = norm_rows(adapted)
+    # zero-shot head over the ADAPTED features (CustomCLIP.forward
+    # semantics: normalized image side, un-normalized class columns)
+    from debiasing_multi_modal_tpu.train.metrics import results_from_counts
+
+    adapter_preds = np.argmax(adapted_n @ tc, axis=-1)  # tc is [D, C]
+    ratio = np.bincount(
+        table.group[table.split == 0], minlength=4
+    ) / max(1, int((table.split == 0).sum()))
     prompts = get_prompts("waterbirds")
     text_names = [f"a photo of a {c}." for c in prompts.classes]
     embs3, labels3, tables3 = {}, {}, {}
@@ -128,15 +162,15 @@ def main():
             "group": table.group[idx], "target": table.y[idx],
             "spurious": table.place[idx], "prediction": table.y_pred[idx],
         }
-        correct = (table.y_pred[idx] == table.y[idx]).astype(np.float64)
-        accs = {"mean_acc": float(correct.mean())}
-        worst = 1.0
-        for g in range(4):
-            m = table.group[idx] == g
-            a = float(correct[m].mean()) if m.any() else float("nan")
-            accs[f"acc_{g // 2}_{g % 2}"] = a
-            worst = min(worst, a) if a == a else worst
-        accs["worst_acc"] = worst
+        # the table must describe the LOADED adapter, not the synthetic
+        # zero-shot predictor (reference VisRepAll reports the evaluated
+        # model's own predictions, visualizer.py:200-225)
+        preds = adapter_preds[idx]
+        labels3[name]["prediction"] = preds
+        correct = (preds == table.y[idx]).astype(np.float64)
+        corr = np.bincount(table.group[idx], weights=correct, minlength=4)
+        cnt = np.bincount(table.group[idx], minlength=4)
+        accs = dict(results_from_counts(corr, cnt, 2, ratio))
         tables3[name] = split_stats_table(embs3[name], table.group[idx], accs)
 
     tag = "adapter_reg_seq_alter" if use_reference else "untrained"

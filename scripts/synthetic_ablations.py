@@ -19,7 +19,9 @@ import numpy as np
 
 
 from debiasing_multi_modal_tpu.utils.compilation_cache import enable_persistent_cache
+from debiasing_multi_modal_tpu.utils.platform import apply_platform_env
 
+apply_platform_env()
 enable_persistent_cache()
 
 
