@@ -94,6 +94,8 @@ class TrainConfig:
     random_seed: int = 42
     save_results: bool = False
     print_freq: int = 10
+    # accepted for flag-surface parity; per-batch prints don't exist here —
+    # an epoch is one jitted scan, logging is per-epoch (PARITY deviation 13)
     watch_batch_results: bool = False
 
     def __post_init__(self):
