@@ -20,6 +20,12 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+# the reference initializes every conv with kaiming_normal(mode='fan_out',
+# nonlinearity='relu') (workspace/jinsu/resnet.py:148-150); this module is
+# the TRAINABLE from-scratch SupCon encoder, so initial scale matters
+_KAIMING_FAN_OUT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
 class PlainBottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -35,6 +41,7 @@ class PlainBottleneck(nn.Module):
             f, (k, k), strides=(s, s),
             padding=((k // 2, k // 2), (k // 2, k // 2)) if k > 1 else "VALID",
             use_bias=False, dtype=self.dtype, name=name,
+            kernel_init=_KAIMING_FAN_OUT,
         )
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, dtype=jnp.float32, name=name
@@ -59,6 +66,7 @@ class PlainResNet(nn.Module):
         x = nn.Conv(
             self.width, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="conv1",
+            kernel_init=_KAIMING_FAN_OUT,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=jnp.float32, name="bn1"

@@ -65,7 +65,15 @@ def _body(
     x = x_ref[...]
     y1 = jnp.dot(x.reshape(-1, cin), w1_ref[...], preferred_element_type=jnp.float32)
     y1 = jnp.maximum(y1 + b1_ref[0], 0.0).astype(dt).reshape(g, h, w, m)
-    y1p_ref[...] = jnp.zeros((g, h + 2, w + 2, m), dt)
+    # zero only the 1-px border, and only on the FIRST grid step: scratch
+    # persists across steps, the interior is fully overwritten every step,
+    # and nothing ever dirties the border — a full-tile zero per step
+    # roughly doubled the kernel's VMEM store traffic on the expanded mid
+    # tensor (post-dates the DESIGN §8.6 measurement; re-measure on TPU)
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_border():
+        y1p_ref[...] = jnp.zeros((g, h + 2, w + 2, m), dt)
+
     y1p_ref[:, 1 : h + 1, 1 : w + 1, :] = y1
 
     n_strips = h // strip_rows
@@ -137,7 +145,7 @@ def fused_bottleneck_gemm(
     w2r = w2.reshape(9 * m, m).astype(dt)
     const = lambda bi: (0, 0)  # noqa: E731
 
-    scratch = [
+    in_specs = [
         pl.BlockSpec((g, h, w, cin), lambda bi: (bi, 0, 0, 0)),  # x
         pl.BlockSpec((cin, m), const),
         pl.BlockSpec((1, m), const),
@@ -157,7 +165,8 @@ def fused_bottleneck_gemm(
     ]
     if wd is not None:
         kernel = functools.partial(_kernel_ds, strip_rows=strip_rows)
-        scratch += [
+        assert bd is not None, "downsample weight wd requires its bias bd"
+        in_specs += [
             pl.BlockSpec((cin, cout), const),
             pl.BlockSpec((1, cout), const),
         ]
@@ -169,7 +178,7 @@ def fused_bottleneck_gemm(
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
-        in_specs=scratch,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, h, w, cout), lambda bi: (bi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dt),
         scratch_shapes=[

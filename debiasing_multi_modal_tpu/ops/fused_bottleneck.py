@@ -35,14 +35,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # TPU backend only; tests fall back to interpret mode
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PLTPU = True
-except ImportError:  # pragma: no cover
-    pltpu = None
-    _HAS_PLTPU = False
-
 _SHIFTS = tuple((dy, dx) for dy in range(3) for dx in range(3))
 
 
