@@ -7,11 +7,16 @@ assumed at test time.
 
 import os
 
+import re as _re
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# normalize (not just append): a pre-existing count other than 8 would run
+# the mesh-shaped tests on the wrong virtual-device count, failing far from
+# the cause
+_flags = _re.sub(r"--xla_force_host_platform_device_count=\S+", "", _flags)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

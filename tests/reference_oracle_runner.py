@@ -79,7 +79,10 @@ def install_shims():
         try:
             return _orig_array(*a, **k)
         except ValueError as e:
-            if "inhomogeneous" in str(e) and "dtype" not in k:
+            # retry only when dtype wasn't given AT ALL — a positional
+            # dtype (np.array(x, float)) would make the kwarg retry raise
+            # an unrelated TypeError masking this informative error
+            if "inhomogeneous" in str(e) and "dtype" not in k and len(a) == 1:
                 return _orig_array(*a, dtype=object, **k)
             raise
 
@@ -87,8 +90,10 @@ def install_shims():
 
     # the reference's CelebA datasets mutate `metadata_df[col].values` in
     # place (celeba_embeddings*.py: the -1 -> 0 attribute remap), which is
-    # read-only under modern pandas copy-on-write; restore the pre-CoW
-    # semantics it was written against by returning writable copies.
+    # read-only under modern pandas copy-on-write.  Returning a writable
+    # COPY is enough for the reference's actual pattern (it binds .values
+    # to a local and mutates that); it is NOT full pre-CoW semantics — an
+    # unbound write like df[c].values[m] = v would mutate a throwaway copy.
     # Subprocess-isolated — never affects the host test process.
     import pandas as pd
 

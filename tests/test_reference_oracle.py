@@ -111,7 +111,15 @@ DEBIAS_ARGS = [
 ]
 
 
+_REF_MEMO = {}
+
+
 def _run_reference(cache, extra, seed):
+    # memoized: several tests share the ERM seed-42 run — a multi-minute
+    # torch subprocess on the 1-core host
+    memo_key = (cache["root"], tuple(extra), seed)
+    if memo_key in _REF_MEMO:
+        return _REF_MEMO[memo_key]
     spec = {
         "reference_root": REFERENCE,
         "argv": _common_argv(cache) + extra + ["--random_seed", str(seed)],
@@ -126,8 +134,15 @@ def _run_reference(cache, extra, seed):
     lines = [
         l for l in proc.stdout.splitlines() if l.startswith("ORACLE_RESULT ")
     ]
-    assert lines, proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
-    return json.loads(lines[0][len("ORACLE_RESULT "):])
+    assert lines, (
+        "no ORACLE_RESULT from the reference subprocess (a fully-collapsed "
+        "seed leaves best_model=None and validate_zs crashes at "
+        "final_main.py:1037 — check the tail):\n"
+        + proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
+    )
+    result = json.loads(lines[0][len("ORACLE_RESULT "):])
+    _REF_MEMO[memo_key] = result
+    return result
 
 
 def _bundle(cache, dataset="waterbirds"):
@@ -144,13 +159,24 @@ def _bundle(cache, dataset="waterbirds"):
     )
 
 
+_BUNDLE_MEMO = {}
+_OURS_MEMO = {}
+
+
 def _run_ours(cache, cfg, seed):
     from debiasing_multi_modal_tpu.train.loop import train_all_epochs
 
-    (_, _, te), _, _ = train_all_epochs(
-        cfg.replace(random_seed=seed), _bundle(cache, cfg.dataset)
-    )
-    return te
+    bkey = (cache["root"], cfg.dataset)
+    if bkey not in _BUNDLE_MEMO:
+        # the bundle re-parses a multi-MB clip.json — build once per dataset
+        _BUNDLE_MEMO[bkey] = _bundle(cache, cfg.dataset)
+    okey = (bkey, cfg, seed)
+    if okey not in _OURS_MEMO:
+        (_, _, te), _, _ = train_all_epochs(
+            cfg.replace(random_seed=seed), _BUNDLE_MEMO[bkey]
+        )
+        _OURS_MEMO[okey] = te
+    return _OURS_MEMO[okey]
 
 
 def _cfgs():
