@@ -62,6 +62,11 @@ def build_parser():
                    help="crash-safe mode: persist a result shard every N "
                         "batches; a re-run resumes after the last complete "
                         "shard instead of starting over")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="dynamic W8A8 int8 GEMMs in the vision tower "
+                        "(ops/quant.py; ViT backbones only — int8 convs "
+                        "measured null, docs/DESIGN.md §8). Validate "
+                        "accuracy on real data before production use")
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="shard encoder params over a model axis of this size "
                         "(Megatron pattern, parallel/tp.py) on top of data-"
@@ -124,6 +129,15 @@ def main(args):
         variables = fold_resnet_bn(jax.device_get(variables))
         model = create_clip(model.config, fuse_bn=True)
         print("folded frozen BatchNorms into the convolutions")
+
+    if args.quantize != "none":
+        if not model.config.is_vit:
+            raise SystemExit("--quantize applies to ViT backbones only "
+                             "(int8 convs measured null, docs/DESIGN.md §8)")
+        # same variables — the W8A8 path quantizes in-graph (ops/quant.py),
+        # so the converted checkpoint tree loads unchanged
+        model = create_clip(model.config, quant=args.quantize)
+        print(f"vision tower Dense GEMMs running {args.quantize} W8A8")
 
     prompts = get_prompts(args.dataset)
     text = encode_text_prompts(
@@ -208,6 +222,7 @@ def main(args):
                 # numerically different shards without these
                 "compute_dtype": jnp.dtype(dtype).name,
                 "tensor_parallel": tp,
+                "quantize": args.quantize,
             }
         from debiasing_multi_modal_tpu.utils.profiling import trace
 

@@ -37,6 +37,10 @@ class CLIP(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     fuse_bn: bool = False  # folded-BN inference variant (weights/fold.py)
+    # "int8": dynamic W8A8 Dense GEMMs in the VISION tower (ops/quant.py).
+    # ViT-only: int8 convs measured null on this XLA build (DESIGN §8), and
+    # the text tower encodes <=8 prompts total — nothing to win there.
+    quant: str = "none"
 
     def setup(self):
         cfg = self.config
@@ -51,8 +55,15 @@ class CLIP(nn.Module):
                 param_dtype=cfg.param_dtype,
                 attn_impl=self.attn_impl,
                 remat=self.remat,
+                quant=self.quant,
             )
         else:
+            if self.quant != "none":
+                raise ValueError(
+                    "quant is ViT-only: the ResNet towers are conv-dominated "
+                    "and int8 convs measured 0.9-1.0x on this XLA build "
+                    "(docs/DESIGN.md §8)"
+                )
             self.visual = ModifiedResNet(
                 layers=cfg.vision_layers,
                 output_dim=cfg.embed_dim,
@@ -110,6 +121,7 @@ def create_clip(
     attn_impl: str = "auto",
     remat: bool = False,
     fuse_bn: bool = False,
+    quant: str = "none",
 ) -> CLIP:
     """``dtype=None`` keeps the config's dtype (fp32 for zoo names); an
     explicit dtype is honored for BOTH name and CLIPConfig inputs — the old
@@ -123,7 +135,9 @@ def create_clip(
         cfg = get_config(
             name_or_config, dtype=jnp.float32 if dtype is None else dtype
         )
-    return CLIP(config=cfg, attn_impl=attn_impl, remat=remat, fuse_bn=fuse_bn)
+    return CLIP(
+        config=cfg, attn_impl=attn_impl, remat=remat, fuse_bn=fuse_bn, quant=quant
+    )
 
 
 def init_clip(

@@ -15,8 +15,23 @@ import jax
 import jax.numpy as jnp
 
 from debiasing_multi_modal_tpu.ops.attention import multi_head_attention
+from debiasing_multi_modal_tpu.ops.quant import Int8Dense
 
 Dtype = Any
+
+QUANT_MODES = ("none", "int8")
+
+
+def make_dense(features: int, *, dtype, param_dtype, quant: str, name: str):
+    """``nn.Dense`` or its W8A8 drop-in (``ops/quant.py``), by ``quant`` mode.
+
+    Parameter trees are identical either way, so converted checkpoints load
+    into both.  ``quant`` is validated here so a typo fails at trace time.
+    """
+    if quant not in QUANT_MODES:
+        raise ValueError(f"unknown quant mode {quant!r}; known: {QUANT_MODES}")
+    cls = Int8Dense if quant == "int8" else nn.Dense
+    return cls(features, dtype=dtype, param_dtype=param_dtype, name=name)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -85,12 +100,14 @@ class MultiHeadAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
         d = x.shape[-1]
-        dense = lambda name: nn.Dense(  # noqa: E731
-            d, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        dense = lambda name: make_dense(  # noqa: E731
+            d, dtype=self.dtype, param_dtype=self.param_dtype,
+            quant=self.quant, name=name,
         )
         q, k, v = dense("q_proj")(x), dense("k_proj")(x), dense("v_proj")(x)
         out = multi_head_attention(
@@ -105,17 +122,19 @@ class MLPBlock(nn.Module):
     expansion: int = 4
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = x.shape[-1]
-        h = nn.Dense(
+        h = make_dense(
             d * self.expansion, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="c_fc",
+            quant=self.quant, name="c_fc",
         )(x)
         h = quick_gelu(h)
-        return nn.Dense(
-            d, dtype=self.dtype, param_dtype=self.param_dtype, name="c_proj"
+        return make_dense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype,
+            quant=self.quant, name="c_proj",
         )(h)
 
 
@@ -131,6 +150,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -139,10 +159,12 @@ class ResidualAttentionBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )(LayerNormF32(param_dtype=self.param_dtype, name="ln_1")(x), causal=self.causal)
         x = x + MLPBlock(
-            dtype=self.dtype, param_dtype=self.param_dtype, name="mlp"
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            quant=self.quant, name="mlp",
         )(LayerNormF32(param_dtype=self.param_dtype, name="ln_2")(x))
         return x
 
@@ -162,6 +184,7 @@ class Transformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
@@ -181,6 +204,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
+                quant=self.quant,
                 name=f"resblocks_{i}",
             )(x)
         return x

@@ -18,11 +18,17 @@ import jax
 import jax.numpy as jnp
 
 from debiasing_multi_modal_tpu.models.layers import LayerNormF32, Transformer
+from debiasing_multi_modal_tpu.ops.quant import int8_dense
 
 Dtype = Any
 
 
 class VisionTransformer(nn.Module):
+    """``quant="int8"`` runs every transformer Dense and the patch GEMM on the
+    dynamic W8A8 path (ops/quant.py); the class-token output projection stays
+    in the activation dtype — it is the embedding-space head (accuracy-critical
+    and a negligible share of the FLOPs)."""
+
     patch_size: int
     width: int
     layers: int
@@ -32,6 +38,7 @@ class VisionTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -53,7 +60,10 @@ class VisionTransformer(nn.Module):
             (p * p * c, self.width),
             self.param_dtype,
         )
-        tokens = patches @ kernel.astype(self.dtype)
+        if self.quant == "int8":
+            tokens = int8_dense(patches, kernel, out_dtype=self.dtype)
+        else:
+            tokens = patches @ kernel.astype(self.dtype)
 
         cls = self.param(
             "class_embedding",
@@ -82,6 +92,7 @@ class VisionTransformer(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            quant=self.quant,
             name="transformer",
         )(tokens)
 

@@ -237,6 +237,70 @@ def test_extract_cli_tensor_parallel(tmp_path, monkeypatch):
     np.testing.assert_array_equal(b["y_pred"], a["y_pred"])
 
 
+def test_extract_cli_quantize_int8(tmp_path, monkeypatch):
+    """--quantize int8 through the full CLI path (tiny ViT): embeddings stay
+    within the W8A8 bound of the unquantized run; RN backbones are rejected."""
+    import pytest
+
+    from debiasing_multi_modal_tpu.cli import extract_main
+    from debiasing_multi_modal_tpu.models.config import CLIPConfig
+
+    _write_waterbirds_tree(tmp_path)
+    tiny = CLIPConfig(
+        name="ViT-B/32", embed_dim=32, image_resolution=64,
+        vision_layers=1, vision_width=64, vision_patch_size=16,
+        transformer_width=64, transformer_heads=1, transformer_layers=1,
+    )
+    import debiasing_multi_modal_tpu.models as models_pkg
+
+    real_create = models_pkg.create_clip
+    monkeypatch.setitem(
+        sys.modules["debiasing_multi_modal_tpu.models"].__dict__,
+        "create_clip",
+        lambda name_or_config, dtype=None, **kw: real_create(
+            tiny, quant=kw.get("quant", "none")
+        ),
+    )
+
+    def run(edir, quant):
+        argv = [
+            "--data_dir", str(tmp_path), "--dataset", "waterbirds",
+            "--split", "test", "--backbone", "ViT-B/32",
+            "--embedding_dir", edir, "--save",
+            "--batch_size", "8", "--host_resolution", "64",
+            "--format", "npz", "--quantize", quant,
+        ]
+        extract_main.main(extract_main.build_parser().parse_args(argv))
+
+    run("emb_fp", "none")
+    run("emb_q", "int8")
+    a = np.load(tmp_path / "emb_fp" / "waterbirds" / "ViT-B-32" / "clip.npz")
+    b = np.load(tmp_path / "emb_q" / "waterbirds" / "ViT-B-32" / "clip.npz")
+    ea, eb = a["embeddings"].astype(np.float64), b["embeddings"].astype(np.float64)
+    cos = (ea * eb).sum(-1) / (
+        np.linalg.norm(ea, axis=-1) * np.linalg.norm(eb, axis=-1)
+    )
+    assert cos.min() > 0.99, cos
+
+    # RN backbones must be rejected loudly
+    monkeypatch.setitem(
+        sys.modules["debiasing_multi_modal_tpu.models"].__dict__,
+        "create_clip", real_create,
+    )
+    rn_tiny = CLIPConfig(
+        name="RN50", embed_dim=32, image_resolution=64,
+        vision_layers=(1, 1, 1, 1), vision_width=8, vision_patch_size=None,
+        transformer_width=64, transformer_heads=1, transformer_layers=1,
+    )
+    monkeypatch.setitem(
+        sys.modules["debiasing_multi_modal_tpu.models"].__dict__,
+        "create_clip",
+        lambda name_or_config, dtype=None, **kw: real_create(rn_tiny),
+    )
+    with pytest.raises(SystemExit, match="ViT backbones only"):
+        run("emb_rn", "int8")
+
+
 def test_sweep_cli_rejects_unwired_flags(tmp_path):
     """num_iter beyond the seed list, and train-only flags, must fail loudly
     instead of silently truncating the sweep / producing nothing."""
