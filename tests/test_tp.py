@@ -186,3 +186,43 @@ def test_extraction_runner_tp_requires_model_axis(rng):
             mesh=make_mesh(),
             tensor_parallel=True,
         )
+
+
+def test_tp_forward_matches_replicated_quant_int8():
+    """tp x int8: per-channel weight scales under Megatron sharding.
+
+    Column-parallel kernels (q/k/v, c_fc) shard the scale axis — scales stay
+    local; row-parallel kernels (out_proj, c_proj) shard the K axis the
+    per-channel amax reduces over, so XLA inserts an all-reduce max for the
+    scales.  A single sharded ``int8_dense`` matches the replicated op to f32
+    epsilon (measured 5e-6), but the FULL tower is not bit-identical across
+    shardings: reduction-order ulp differences flip ``round()`` for values
+    sitting on quantization boundaries, each flip worth one int8 step — so
+    the pinned bound is a small multiple of the step (plus cosine), not
+    bitwise equality.
+    """
+    cfg = _vit_cfg()
+    model = create_clip(cfg, quant="int8")
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sv = tpmod.shard_variables(variables, mesh)
+
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal(
+        (8, cfg.image_resolution, cfg.image_resolution, 3)
+    ).astype(np.float32)
+    ref = model.apply(variables, jnp.asarray(imgs), method=model.encode_image)
+
+    data_sh = batch_sharding(mesh)
+    var_sh = tpmod.tp_shardings(variables, mesh)
+    f_img = jax.jit(
+        lambda v, x: model.apply(v, x, method=model.encode_image),
+        in_shardings=(var_sh, data_sh),
+    )
+    out = f_img(sv, jax.device_put(jnp.asarray(imgs), data_sh))
+    a, b = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    np.testing.assert_allclose(b, a, atol=0.02, rtol=0)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
