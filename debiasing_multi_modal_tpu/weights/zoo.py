@@ -86,8 +86,17 @@ def download(name: str, root: str = DEFAULT_CACHE) -> str:
     return target
 
 
-def load(name_or_path: str, dtype=None, download_root: str = DEFAULT_CACHE) -> Tuple:
-    """``clip.load`` equivalent: name or local path -> (CLIP model, variables)."""
+def load(
+    name_or_path: str,
+    dtype=None,
+    download_root: str = DEFAULT_CACHE,
+    quant: str = "none",
+) -> Tuple:
+    """``clip.load`` equivalent: name or local path -> (CLIP model, variables).
+
+    ``quant="int8"`` returns the dynamic-W8A8 ViT variant (ops/quant.py);
+    the variable tree is identical, so the converted weights load unchanged.
+    """
     import jax.numpy as jnp
 
     from debiasing_multi_modal_tpu.models import create_clip
@@ -113,6 +122,6 @@ def load(name_or_path: str, dtype=None, download_root: str = DEFAULT_CACHE) -> T
     cfg = config_from_state_dict(sd)
     if dtype is not None:
         cfg = cfg.with_dtype(dtype)
-    model = create_clip(cfg)
+    model = create_clip(cfg, quant=quant)
     variables = variables_from_state_dict(sd, cfg)
     return model, variables
