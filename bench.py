@@ -309,7 +309,7 @@ def main():
             {
                 "metric": (
                     backbone.lower().replace("/", "_").replace("-", "_")
-                    + ("_int8" if quant != "none" else "")
+                    + (f"_{quant}" if quant != "none" else "")
                     + "_extract_imgs_per_sec_per_chip"
                 ),
                 "value": round(per_chip, 1),

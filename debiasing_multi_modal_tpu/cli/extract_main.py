@@ -62,7 +62,8 @@ def build_parser():
                    help="crash-safe mode: persist a result shard every N "
                         "batches; a re-run resumes after the last complete "
                         "shard instead of starting over")
-    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int8_pallas"],
                    help="dynamic W8A8 int8 GEMMs in the vision tower "
                         "(ops/quant.py; ViT backbones only — int8 convs "
                         "measured null, docs/DESIGN.md §8). Validate "

@@ -19,7 +19,12 @@ from debiasing_multi_modal_tpu.ops.quant import Int8Dense
 
 Dtype = Any
 
-QUANT_MODES = ("none", "int8")
+QUANT_MODES = ("none", "int8", "int8_pallas")
+
+
+def quant_impl(quant: str) -> str:
+    """Map a model-level quant mode to the int8_dense GEMM impl."""
+    return "pallas" if quant == "int8_pallas" else "xla"
 
 
 def make_dense(features: int, *, dtype, param_dtype, quant: str, name: str):
@@ -27,11 +32,16 @@ def make_dense(features: int, *, dtype, param_dtype, quant: str, name: str):
 
     Parameter trees are identical either way, so converted checkpoints load
     into both.  ``quant`` is validated here so a typo fails at trace time.
+    "int8" runs the XLA int8 dot; "int8_pallas" the ops/quant_gemm.py kernel.
     """
     if quant not in QUANT_MODES:
         raise ValueError(f"unknown quant mode {quant!r}; known: {QUANT_MODES}")
-    cls = Int8Dense if quant == "int8" else nn.Dense
-    return cls(features, dtype=dtype, param_dtype=param_dtype, name=name)
+    if quant == "none":
+        return nn.Dense(features, dtype=dtype, param_dtype=param_dtype, name=name)
+    return Int8Dense(
+        features, dtype=dtype, param_dtype=param_dtype,
+        impl=quant_impl(quant), name=name,
+    )
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:

@@ -60,8 +60,12 @@ class VisionTransformer(nn.Module):
             (p * p * c, self.width),
             self.param_dtype,
         )
-        if self.quant == "int8":
-            tokens = int8_dense(patches, kernel, out_dtype=self.dtype)
+        if self.quant != "none":
+            from debiasing_multi_modal_tpu.models.layers import quant_impl
+
+            tokens = int8_dense(
+                patches, kernel, out_dtype=self.dtype, impl=quant_impl(self.quant)
+            )
         else:
             tokens = patches @ kernel.astype(self.dtype)
 

@@ -71,12 +71,20 @@ def quantize_cols_int8(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def int8_dense(
     x: jax.Array,
     kernel: jax.Array,
     bias: Optional[jax.Array] = None,
     *,
     out_dtype: Optional[Dtype] = None,
+    impl: str = "xla",
 ) -> jax.Array:
     """``x @ kernel + bias`` with both operands dynamically quantized to int8.
 
@@ -85,6 +93,8 @@ def int8_dense(
       kernel: [K, N] weights (any float dtype; quantized per output channel).
       bias: optional [N], added in f32 after dequantization.
       out_dtype: result dtype (defaults to ``x.dtype``).
+      impl: "xla" (int8 dot_general) or "pallas" (ops/quant_gemm.py — the
+        MXU-int8 backstop; bit-identical epilogue, interpreted off-TPU).
 
     The int8 GEMM accumulates in int32 on the MXU; the dequantization epilogue
     is a rank-1 f32 scaling that XLA fuses into the result write.
@@ -94,6 +104,22 @@ def int8_dense(
     qk, sk = quantize_cols_int8(kernel)
     lead = qx.shape[:-1]
     k = qx.shape[-1]
+    n = kernel.shape[-1]
+    if impl == "pallas":
+        from debiasing_multi_modal_tpu.ops.quant_gemm import int8_matmul
+
+        out = int8_matmul(
+            qx.reshape(-1, k),
+            qk,
+            sx.reshape(-1, 1),
+            sk,
+            bias=None if bias is None else bias.astype(jnp.float32),
+            out_dtype=jnp.dtype(out_dtype),
+            interpret=not _on_tpu(),
+        )
+        return out.reshape(*lead, n)
+    if impl != "xla":
+        raise ValueError(f"unknown int8_dense impl {impl!r}")
     acc = jax.lax.dot_general(
         qx.reshape(-1, k),
         qk,
@@ -103,7 +129,7 @@ def int8_dense(
     out = acc.astype(jnp.float32) * sx.reshape(-1, 1) * sk[None, :]
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
-    return out.reshape(*lead, kernel.shape[-1]).astype(out_dtype)
+    return out.reshape(*lead, n).astype(out_dtype)
 
 
 class Int8Dense(nn.Module):
@@ -118,6 +144,7 @@ class Int8Dense(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_bias: bool = True
+    impl: str = "xla"  # "xla" | "pallas" (ops/quant_gemm.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -134,4 +161,4 @@ class Int8Dense(nn.Module):
             if self.use_bias
             else None
         )
-        return int8_dense(x, kernel, bias, out_dtype=self.dtype)
+        return int8_dense(x, kernel, bias, out_dtype=self.dtype, impl=self.impl)

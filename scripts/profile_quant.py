@@ -38,6 +38,7 @@ def main():
     print("backend:", jax.default_backend(), " backbone:", BACKBONE, " batch:", BATCH)
     model = create_clip(BACKBONE, dtype=jnp.bfloat16)
     model_q = create_clip(BACKBONE, dtype=jnp.bfloat16, quant="int8")
+    model_qp = create_clip(BACKBONE, dtype=jnp.bfloat16, quant="int8_pallas")
     cfg = model.config
     res = cfg.image_resolution
 
@@ -78,6 +79,9 @@ def main():
         lambda a, b: a @ b.astype(a.dtype), x, w, iters=ITERS), gemm_flops)
     report("c_fc GEMM int8 (incl. dyn quant)", chain_time(
         lambda a, b: int8_dense(a, b), x, w, iters=ITERS), gemm_flops)
+    report("c_fc GEMM int8 pallas (incl. quant)", chain_time(
+        lambda a, b: int8_dense(a, b, impl="pallas"), x, w, iters=ITERS),
+        gemm_flops)
     # pre-quantized operands: the pure int8-MXU rate, no quantize pass
     qx = jnp.asarray(rng.integers(-127, 128, size=x.shape), jnp.int8)
     qw = jnp.asarray(rng.integers(-127, 128, size=w.shape), jnp.int8)
@@ -94,6 +98,10 @@ def main():
     report("full visual bf16", dt, BATCH * gf if gf else None)
     dt_q = chain_time(enc_q, variables, x_dev, iters=ITERS)
     report("full visual int8", dt_q, BATCH * gf if gf else None)
+    enc_qp = lambda v, y: model_qp.apply(  # noqa: E731
+        v, y, method=model_qp.encode_image)
+    dt_qp = chain_time(enc_qp, variables, x_dev, iters=ITERS)
+    report("full visual int8_pallas", dt_qp, BATCH * gf if gf else None)
 
     # --- embedding agreement (device) ---------------------------------------
     @jax.jit
@@ -115,7 +123,7 @@ def main():
         zs = t / jnp.linalg.norm(t, axis=0, keepdims=True)
         return jnp.matmul(nrm, zs, precision=jax.lax.Precision.HIGHEST)
 
-    for label, fn in (("bf16", enc), ("int8", enc_q)):
+    for label, fn in (("bf16", enc), ("int8", enc_q), ("int8_pallas", enc_qp)):
         dt = chain_time(
             lambda v, im, t, fn=fn: full_step(fn, v, im, t),
             variables, images, text, iters=ITERS,

@@ -122,6 +122,51 @@ def test_quant_tower_tree_identical_and_embeddings_close():
     assert cos.min() > 0.99, cos
 
 
+def test_pallas_int8_matmul_matches_xla():
+    """The quant_gemm kernel (interpret mode off-TPU) agrees with the XLA
+    int8 path to f32 ulps: the integer GEMM is exact either way; only the
+    f32 dequant epilogue's fusion differs (measured <= 2 ulp).  Covers
+    bias/no-bias, ragged M (row padding), and unaligned K (the ViT-L/14
+    patch GEMM's K=588 -> zero-pad to 608)."""
+    rng = np.random.default_rng(3)
+    for m, k, n, with_bias in ((200, 256, 128, True), (64, 588, 256, False)):
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(n,)), jnp.float32) if with_bias else None
+        ref = int8_dense(x, w, b, impl="xla")
+        out = int8_dense(x, w, b, impl="pallas")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_pallas_quant_tower_matches_xla_quant_tower():
+    """quant='int8_pallas' end to end on an MXU-aligned tiny ViT."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _tiny_vit_config(), vision_width=128, vision_patch_size=8,
+        image_resolution=32, embed_dim=128,
+    )
+    model = create_clip(cfg, quant="int8")
+    model_p = create_clip(cfg, quant="int8_pallas")
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    a = np.asarray(model.apply(variables, images, method=model.encode_image),
+                   np.float64)
+    b = np.asarray(model_p.apply(variables, images, method=model_p.encode_image),
+                   np.float64)
+    # identical quantization + exact integer GEMMs; the f32 epilogues may
+    # differ by ulps, and an ulp can flip a downstream round() on a
+    # quantization boundary — the bound is the quant step, like the tp test
+    np.testing.assert_allclose(b, a, atol=0.02, rtol=0)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+
 def test_quant_rejects_resnet_tower():
     with pytest.raises(ValueError, match="ViT-only"):
         init_clip(
