@@ -82,6 +82,20 @@ def main():
     report("c_fc GEMM int8 pallas (incl. quant)", chain_time(
         lambda a, b: int8_dense(a, b, impl="pallas"), x, w, iters=ITERS),
         gemm_flops)
+    # raw kernel at explicit blocks (QUANT_BM/QUANT_BN env, static args —
+    # patched globals are ignored after the first trace: memory note)
+    from debiasing_multi_modal_tpu.ops.quant_gemm import int8_matmul
+    from debiasing_multi_modal_tpu.ops.quant import (
+        quantize_cols_int8, quantize_rows_int8,
+    )
+
+    bm = int(os.environ.get("QUANT_BM", "512"))
+    bn = int(os.environ.get("QUANT_BN", "512"))
+    qx2, sx2 = jax.jit(quantize_rows_int8)(x)
+    qw2, sw2 = jax.jit(quantize_cols_int8)(w)
+    report(f"pallas kernel only bm{bm} bn{bn}", chain_time(
+        lambda a, b, c, d: int8_matmul(a, b, c, d, block_m=bm, block_n=bn),
+        qx2, qw2, sx2, sw2, iters=ITERS), gemm_flops)
     # pre-quantized operands: the pure int8-MXU rate, no quantize pass
     qx = jnp.asarray(rng.integers(-127, 128, size=x.shape), jnp.int8)
     qw = jnp.asarray(rng.integers(-127, 128, size=w.shape), jnp.int8)
