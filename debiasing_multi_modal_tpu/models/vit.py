@@ -17,7 +17,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from debiasing_multi_modal_tpu.models.layers import LayerNormF32, Transformer
+from debiasing_multi_modal_tpu.models.layers import (
+    LayerNormF32,
+    Transformer,
+    quant_impl,
+)
 from debiasing_multi_modal_tpu.ops.quant import int8_dense
 
 Dtype = Any
@@ -61,8 +65,6 @@ class VisionTransformer(nn.Module):
             self.param_dtype,
         )
         if self.quant != "none":
-            from debiasing_multi_modal_tpu.models.layers import quant_impl
-
             tokens = int8_dense(
                 patches, kernel, out_dtype=self.dtype, impl=quant_impl(self.quant)
             )

@@ -71,13 +71,6 @@ def quantize_cols_int8(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except RuntimeError:  # pragma: no cover
-        return False
-
-
 def int8_dense(
     x: jax.Array,
     kernel: jax.Array,
@@ -106,6 +99,7 @@ def int8_dense(
     k = qx.shape[-1]
     n = kernel.shape[-1]
     if impl == "pallas":
+        from debiasing_multi_modal_tpu.ops.attention import _on_tpu
         from debiasing_multi_modal_tpu.ops.quant_gemm import int8_matmul
 
         out = int8_matmul(

@@ -48,10 +48,15 @@ def _body(qx_ref, qk_ref, sx_ref, sk_ref, bias_ref, o_ref):
 
 
 def _pick_block(dim: int, preferred: int) -> int:
+    """Largest of (preferred, 512, 256, 128) that divides ``dim`` — loud
+    error otherwise, so a bad tuning knob can't degenerate into a whole-N
+    block and an obscure Mosaic VMEM failure."""
     for b in (preferred, 512, 256, 128):
         if b <= preferred and dim % b == 0:
             return b
-    return dim
+    raise ValueError(
+        f"no block size <= {preferred} in (512, 256, 128) divides N={dim}"
+    )
 
 
 @functools.partial(
@@ -79,11 +84,17 @@ def int8_matmul(
             f"N ({n}) must be a multiple of 128 (int8 lane tile); every CLIP "
             "Dense output dim is — pad in the caller for other shapes"
         )
-    pad_k = (-k) % 32  # int8 sublane tile; zero columns/rows are exact
-    if pad_k:  # e.g. the ViT-L/14 patch GEMM, K = 14*14*3 = 588
+    # K is qx's LANE dim (tile 128) and qk's sublane dim (tile 32): pad to
+    # the stricter 128 so the real-TPU layout is aligned, not just interpret
+    # mode.  Zero columns/rows contribute exact zeros to the integer GEMM.
+    pad_k = (-k) % 128  # e.g. the ViT-L/14 patch GEMM, K = 14*14*3 = 588 -> 640
+    if pad_k:
         qx = jnp.pad(qx, ((0, 0), (0, pad_k)))
         qk = jnp.pad(qk, ((0, pad_k), (0, 0)))
         k += pad_k
+    if block_m % 32:
+        raise ValueError(f"block_m ({block_m}) must be a multiple of 32 "
+                         "(int8 sublane tile)")
     bn = _pick_block(n, block_n)
     bm = min(block_m, m + (-m) % 32)  # int8 sublane multiple
     pad_m = (-m) % bm

@@ -35,7 +35,13 @@ enable_persistent_cache()
 
 
 def main():
+    from debiasing_multi_modal_tpu.ops.attention import _on_tpu
+
+    on_tpu = _on_tpu()
     print("backend:", jax.default_backend(), " backbone:", BACKBONE, " batch:", BATCH)
+    if not on_tpu:
+        print("WARNING: CPU backend — Pallas rows run in INTERPRET mode; "
+              "every timing below is a smoke check, not a TPU number")
     model = create_clip(BACKBONE, dtype=jnp.bfloat16)
     model_q = create_clip(BACKBONE, dtype=jnp.bfloat16, quant="int8")
     model_qp = create_clip(BACKBONE, dtype=jnp.bfloat16, quant="int8_pallas")
@@ -94,7 +100,8 @@ def main():
     qx2, sx2 = jax.jit(quantize_rows_int8)(x)
     qw2, sw2 = jax.jit(quantize_cols_int8)(w)
     report(f"pallas kernel only bm{bm} bn{bn}", chain_time(
-        lambda a, b, c, d: int8_matmul(a, b, c, d, block_m=bm, block_n=bn),
+        lambda a, b, c, d: int8_matmul(
+            a, b, c, d, block_m=bm, block_n=bn, interpret=not on_tpu),
         qx2, qw2, sx2, sw2, iters=ITERS), gemm_flops)
     # pre-quantized operands: the pure int8-MXU rate, no quantize pass
     qx = jnp.asarray(rng.integers(-127, 128, size=x.shape), jnp.int8)
