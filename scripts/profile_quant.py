@@ -28,7 +28,7 @@ from debiasing_multi_modal_tpu.utils.timing import chain_time
 
 BACKBONE = sys.argv[1] if len(sys.argv) > 1 else "ViT-B/32"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-ITERS = 16
+ITERS = int(os.environ.get("QUANT_ITERS", "16"))
 GF_PER_IMG = {"ViT-B/32": 9.1e9, "ViT-L/14@336px": 383e9, "ViT-L/14": 164e9}
 
 enable_persistent_cache()
