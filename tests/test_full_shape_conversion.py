@@ -206,3 +206,19 @@ def test_full_shape_archive_sniff_and_parity(name, tmp_path):
     )
     np.testing.assert_allclose(img, ref_img, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(txt, ref_txt, rtol=2e-4, atol=2e-4)
+
+    # 4. (ViT) the opt-in W8A8 mode at REAL shapes: the same converted
+    # variables load into the quantized model unchanged, and its embeddings
+    # stay within the W8A8 band of the torch reference — the tiny-config
+    # cosine bound of test_quant.py re-pinned at production width.
+    if cfg.is_vit:
+        model_q = create_clip(cfg, quant="int8")
+        img_q = np.asarray(
+            model_q.apply(variables, jnp.asarray(imgs), method=model_q.encode_image),
+            np.float64,
+        )
+        r = ref_img.astype(np.float64)
+        cos = (img_q * r).sum(-1) / (
+            np.linalg.norm(img_q, axis=-1) * np.linalg.norm(r, axis=-1)
+        )
+        assert cos.min() > 0.99, cos
