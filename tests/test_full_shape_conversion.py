@@ -1,5 +1,7 @@
 """Full-scale checkpoint-conversion rehearsal at the EXACT real RN50 and
-ViT-B/32 shapes.
+ViT-B/32 shapes (default), plus ViT-L/14@336px, RN101 and RN50x4 opt-in
+(``RUN_XL_PARITY=1``) — the latter pins the width-multiplier RN regime
+(width 80, 40-head attnpool over 9*9+1 tokens at 288px).
 
 `test_model_parity.py` pins converter + model numerics on toy configs; this
 file de-risks the day-one path for *real* OpenAI checkpoints (unavailable
@@ -50,6 +52,13 @@ REAL_HPARAMS = {
     "ViT-B/32": (512, 224, 12, 768, 32, 77, 49408, 512, 8, 12),
     # pod-scale flagship (BASELINE config 5); opt-in below (~2 min extra)
     "ViT-L/14@336px": (768, 336, 24, 1024, 14, 77, 49408, 768, 12, 12),
+    # the other reference-CLI RN backbones (clip_inference.py:280): RN101
+    # exercises the deep-layer config at default width; RN50x4 the
+    # width-multiplier regime (width 80, 40-head attnpool, 9*9+1 tokens,
+    # 288px input) whose attnpool/spacial shapes differ from every
+    # default-width model.  Opt-in below (RUN_XL_PARITY=1).
+    "RN101": (512, 224, (3, 4, 23, 3), 64, None, 77, 49408, 512, 8, 12),
+    "RN50x4": (640, 288, (4, 6, 10, 6), 80, None, 77, 49408, 640, 10, 12),
 }
 
 
@@ -135,8 +144,22 @@ def test_zoo_wide_config_sniffing():
                 reason="428M-param parity rehearsal is opt-in (RUN_XL_PARITY=1)",
             ),
         ),
+        pytest.param(
+            "RN101",
+            marks=pytest.mark.skipif(
+                os.environ.get("RUN_XL_PARITY") != "1",
+                reason="full RN-family parity rehearsal is opt-in (RUN_XL_PARITY=1)",
+            ),
+        ),
+        pytest.param(
+            "RN50x4",
+            marks=pytest.mark.skipif(
+                os.environ.get("RUN_XL_PARITY") != "1",
+                reason="full RN-family parity rehearsal is opt-in (RUN_XL_PARITY=1)",
+            ),
+        ),
     ],
-    ids=["rn50", "vitb32", "vitl14_336"],
+    ids=["rn50", "vitb32", "vitl14_336", "rn101", "rn50x4"],
 )
 def test_full_shape_archive_sniff_and_parity(name, tmp_path):
     import torch
@@ -182,9 +205,11 @@ def test_full_shape_archive_sniff_and_parity(name, tmp_path):
         reg.vision_width,
         reg.embed_dim,
     )
-    if name == "RN50":
-        assert cfg.vision_heads == 32  # attnpool heads, model.py:127
-        assert cfg.image_seq_len == 7 * 7 + 1
+    if hp[4] is None:  # ResNet family
+        # attnpool heads = vision_width * 32 // 64 (model.py:127); token
+        # grid = input_resolution / 32 (stem + 4 stages each halve).
+        assert cfg.vision_heads == hp[3] * 32 // 64
+        assert cfg.image_seq_len == (hp[1] // 32) ** 2 + 1
     else:
         assert cfg.vision_heads == hp[3] // 64  # ViT heads = width/64
         assert cfg.image_seq_len == (hp[1] // hp[4]) ** 2 + 1
