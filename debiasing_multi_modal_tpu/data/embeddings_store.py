@@ -65,7 +65,8 @@ class EmbeddingTable:
             rows = np.asarray([idx_map[fn] for fn in meta.filenames], np.int64)
         except KeyError as e:
             raise ValueError(
-                f"embedding cache is missing file {e.args[0]!r} listed in metadata"
+                "embedding cache is missing file "
+                f"{str(e.args[0])!r} listed in metadata"
             ) from None
         sub = EmbeddingTable(
             filenames=self.filenames[rows],
