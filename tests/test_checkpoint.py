@@ -51,8 +51,16 @@ def bundle():
                  batch_factor=8),
             3,
         ),
+        (
+            # the notebook's linear projection head: its params + momentum
+            # trace ride the checkpoint as `head_state` (loop.py payload)
+            "contrastive_adapter",
+            dict(learning_rate=0.02, num_positive=16, num_negative=16,
+                 batch_factor=8, ca_head="linear"),
+            3,
+        ),
     ],
-    ids=["adapter", "seq_alter_ma_phase2", "contrastive_rows"],
+    ids=["adapter", "seq_alter_ma_phase2", "contrastive_rows", "ca_linear_head"],
 )
 def test_resume_reproduces_uninterrupted_run(tmp_path, bundle, method, extra, interrupt):
     cfg_full = TrainConfig(tl_method=method, epochs=7, **{**BASE, **extra})
