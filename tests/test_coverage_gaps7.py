@@ -77,3 +77,34 @@ def test_sequential_adapter_reg_with_class_prompt_merges_meters():
         assert 0.0 <= row["worst_acc"] <= 1.0
         assert row["mean_acc"] >= 0.0
     assert 0.0 <= best_test["mean_acc"] <= 1.0
+
+
+def test_train_seeds_vmapped_grid_guards():
+    from debiasing_multi_modal_tpu.data.synthetic import (
+        SyntheticSpec,
+        make_synthetic_dataset,
+    )
+    from debiasing_multi_modal_tpu.sweep.vmap_loop import train_seeds_vmapped
+    from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=64, n_val=32, n_test=32, dim=16)
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    bundle = bundle_from_embedding_table(table, mbs, tc, ts, tg)
+    cfg = TrainConfig(
+        tl_method="adapter", epochs=1, dataset="waterbirds", input_dim=16,
+        adapter_feat_dim=8, batch_size=32, batch_size_reg=16,
+        learning_rate=0.5, learning_rate_reg=0.5, lr_decay_epochs=(100,),
+    )
+    with pytest.raises(ValueError, match="not both"):
+        train_seeds_vmapped(
+            cfg, bundle, [42], lr_grid=[(0.1, 0.1)], cell_grid=[cfg]
+        )
+    with pytest.raises(ValueError, match="may differ from the base config"):
+        train_seeds_vmapped(
+            cfg, bundle, [42], cell_grid=[cfg.replace(epochs=2)]
+        )

@@ -62,6 +62,9 @@ def bundle():
                  init_near_identity=False),
         ),
         ("adapter_reg", {}),
+        # CP-Alter: the class-prompt reg pass merges into the train meters
+        # in BOTH loops (reference final_main.py:536,551)
+        ("adapter_reg", dict(use_cls_prompt_in_reg=True)),
         ("adapter_reg_seq", dict(epochs_feature_learning=2)),
         ("adapter", dict(resample_ce=True)),
         ("linear_probing", {}),
@@ -84,8 +87,8 @@ def bundle():
         ),
     ],
     ids=["adapter", "seq_alter_ma", "seq_alter_ma_randominit", "adapter_reg",
-         "seq", "resample_ce", "linear_probing", "contrastive",
-         "contrastive_ce_capped", "contrastive_pure_supcon"],
+         "adapter_reg_cp", "seq", "resample_ce", "linear_probing",
+         "contrastive", "contrastive_ce_capped", "contrastive_pure_supcon"],
 )
 def test_vmapped_seeds_match_sequential(bundle, method, extra):
     cfg = TrainConfig(tl_method=method, epochs=5, **extra, **BASE)
