@@ -502,12 +502,18 @@ def flash_attention(
     *,
     mask: Optional[jax.Array] = None,
     causal: bool = False,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     heads_per_cell: Optional[int] = None,
 ) -> jax.Array:
     """Fused attention: q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D].
+
+    ``interpret=None`` (default) resolves by backend: compiled Mosaic on
+    TPU, Pallas interpret mode elsewhere — so explicit ``impl="pallas"``
+    calls work (slowly but correctly) on CPU instead of failing in the
+    Mosaic lowering.  Pass an explicit bool to pin the mode (the profiling
+    scripts pin ``False``; the kernel unit tests pin ``True``).
 
     Block sizes default to the measured per-shape choice (``_pick_blocks``);
     pass ``block_q``/``block_kv`` to override (both must divide their padded
@@ -527,6 +533,10 @@ def flash_attention(
         # a stripped assert (python -O) would silently DROP the mask —
         # raise unconditionally instead
         raise ValueError("additive masks use the XLA path")
+    if interpret is None:
+        from debiasing_multi_modal_tpu.ops.attention import _on_tpu
+
+        interpret = not _on_tpu()
     auto_q, auto_kv = _pick_blocks(q.shape[1], k.shape[1])
     return _flash(
         q, k, v, causal, interpret, block_q or auto_q, block_kv or auto_kv,

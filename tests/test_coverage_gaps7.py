@@ -108,3 +108,22 @@ def test_train_seeds_vmapped_grid_guards():
         train_seeds_vmapped(
             cfg, bundle, [42], cell_grid=[cfg.replace(epochs=2)]
         )
+
+
+def test_dot_product_attention_explicit_pallas_on_cpu():
+    """impl="pallas" off-TPU auto-resolves to interpret mode (instead of a
+    Mosaic lowering failure) and matches the XLA path."""
+    from debiasing_multi_modal_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 16, 2, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 16, 2, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 16, 2, 8)), jnp.float32)
+    out_xla = dot_product_attention(q, k, v, impl="xla")
+    out_pal = dot_product_attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               rtol=2e-5, atol=2e-5)
+    causal_xla = dot_product_attention(q, k, v, impl="xla", causal=True)
+    causal_pal = dot_product_attention(q, k, v, impl="pallas", causal=True)
+    np.testing.assert_allclose(np.asarray(causal_pal), np.asarray(causal_xla),
+                               rtol=2e-5, atol=2e-5)
