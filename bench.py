@@ -267,13 +267,20 @@ def main():
 
     state_t, _ = one_epoch(state_t)  # compile + warm
     jax.block_until_ready(state_t.params)
-    ep_iters = 30 if on_accel else 3
-    t0 = time.perf_counter()
-    for _ in range(ep_iters):  # state dependency chains the epochs
-        state_t, stats_t = one_epoch(state_t)
-    float(stats_t.loss_sum)  # host fetch = barrier
-    dt_b = time.perf_counter() - t0
-    epochs_per_sec = ep_iters / dt_b
+    # One epoch is ~1.5-2 ms on-chip; a single short block is dominated by
+    # the tunnel's host-fetch round trip (measured: same-round artifacts
+    # 1.55x apart, VERDICT r3 weak #3).  Amortize the RTT with long blocks
+    # and take the median over several, reporting the spread.
+    ep_block, n_blocks = (300, 5) if on_accel else (3, 2)
+    block_rates = []
+    for _ in range(n_blocks):
+        t0 = time.perf_counter()
+        for _ in range(ep_block):  # state dependency chains the epochs
+            state_t, stats_t = one_epoch(state_t)
+        float(stats_t.loss_sum)  # host fetch = barrier
+        block_rates.append(ep_block / (time.perf_counter() - t0))
+    epochs_per_sec = float(np.median(block_rates))
+    epochs_spread = (max(block_rates) - min(block_rates)) / epochs_per_sec
 
     # ---- acceptance (BASELINE.md "Targets for the TPU rebuild"):
     # RN50: throughput vs the driver-set 5,000 imgs/sec/chip target.
@@ -321,6 +328,7 @@ def main():
                 "e2e_batches": n_e2e,
                 "batch": batch,
                 "stage_b_train_epochs_per_sec": round(epochs_per_sec, 2),
+                "stage_b_epochs_per_sec_spread": round(epochs_spread, 3),
             }
         )
     )

@@ -193,11 +193,14 @@ class MultipleAdapterClassifier(nn.Module):
     The old branch is ``stop_gradient``-ed (the detach at final_main.py:127);
     its parameters are additionally excluded from the optimizer by the train
     loop (mirror of ``set_optimizer_reg``'s param filtering,
-    demo/util.py:125-136).  Its BatchNorm keeps *eval* semantics — the torch
-    original technically leaves old BN in train mode, but with the optimizer
-    filter its affine params are frozen; we freeze its running stats too and
-    document the deviation (running-stat drift of a frozen branch is noise,
-    not signal).
+    demo/util.py:125-136).  Its BatchNorm follows the reference's torch mode
+    system exactly: during phase-2 training the whole module is in train
+    mode, so the old BN normalizes each reg batch with that batch's OWN
+    statistics and keeps drifting its running averages (used at eval) —
+    only the old branch's *parameters* are frozen.  The matched-batch-order
+    oracle measured this to be the dominant stage-2 divergence when the old
+    branch ran eval-frozen instead (round 4; it was PARITY deviation 4
+    before that).
     """
 
     hidden_dim: int = 128
@@ -219,7 +222,7 @@ class MultipleAdapterClassifier(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="old",
-        )(features, mask=mask, train=False)
+        )(features, mask=mask, train=train)
         new = AdapterMLP(
             self.hidden_dim,
             dtype=self.dtype,

@@ -145,15 +145,113 @@ def init_clip(
     rng: jax.Array,
     batch: int = 1,
     image_resolution: Optional[int] = None,
+    scratch_init: str = "flax",
 ):
     """Initialize parameter/batch-stats collections with dummy inputs.
 
     Initialization is jitted as ONE program: un-jitted flax init dispatches
     hundreds of tiny ops, which is pathological on remote-TPU links where
     every program carries ~10s of fixed compile latency.
+
+    ``scratch_init="reference"`` re-draws the tensors the reference's
+    ``CLIP.initialize_parameters`` explicitly initializes with its stds
+    (:func:`reference_scratch_init`); the default keeps flax initializers.
+    Real runs load converted OpenAI weights either way — this mode exists so
+    scratch training starts from the reference's distribution.
     """
     cfg = model.config
     res = image_resolution or cfg.image_resolution
     images = jnp.zeros((batch, res, res, 3), cfg.dtype)
     tokens = jnp.zeros((batch, cfg.context_length), jnp.int32)
-    return jax.jit(model.init)(rng, images, tokens)
+    variables = jax.jit(model.init)(rng, images, tokens)
+    if scratch_init == "reference":
+        ref_rng = jax.random.fold_in(rng, 1)
+        variables = jax.jit(reference_scratch_init)(variables, ref_rng)
+    elif scratch_init != "flax":
+        raise ValueError(f"unknown scratch_init {scratch_init!r}")
+    return variables
+
+
+def reference_scratch_init(variables, rng: jax.Array):
+    """Apply the reference's ``CLIP.initialize_parameters`` scheme
+    (clip/model.py:306-334) to a freshly initialized variables tree:
+
+    - token embedding ~ N(0, 0.02), text positional embedding ~ N(0, 0.01);
+    - ResNet attnpool q/k/v/c projections ~ N(0, in_features(c_proj)^-0.5)
+      and every Bottleneck's bn3 scale zeroed (residual branches start as
+      identity — clip/model.py:311-318);
+    - TEXT transformer blocks: attn in-projections ~ N(0, width^-0.5),
+      attn out / mlp c_proj ~ N(0, width^-0.5 * (2*layers)^-0.5), mlp c_fc
+      ~ N(0, (2*width)^-0.5); text projection ~ N(0, width^-0.5)
+      (:322-331).  The reference loops over ``self.transformer`` only — the
+      ViT tower's blocks keep library defaults there too, and its
+      class/positional/proj tensors are already drawn at width^-0.5 by both
+      implementations (model.py:212-216 / models/vit.py), so ViT towers need
+      no extra treatment.
+
+    Tensors the reference leaves to torch defaults (convs, biases, BN
+    scales other than bn3, LayerNorms) keep this framework's flax defaults:
+    neither library's default is part of the reference's own init scheme.
+
+    Returns a new variables tree; jit-safe (pure function of inputs).
+    """
+    params = jax.tree.map(lambda x: x, variables)["params"]  # fresh containers
+
+    def normal_like(key, a, std):
+        return (std * jax.random.normal(key, a.shape, jnp.float32)).astype(a.dtype)
+
+    # deterministic per-tensor keys via fold_in on a running counter
+    counter = [0]
+
+    def next_key():
+        counter[0] += 1
+        return jax.random.fold_in(rng, counter[0])
+
+    text = params["text"]
+    text["token_embedding"] = dict(text["token_embedding"])
+    text["token_embedding"]["embedding"] = normal_like(
+        next_key(), text["token_embedding"]["embedding"], 0.02
+    )
+    text["positional_embedding"] = normal_like(
+        next_key(), text["positional_embedding"], 0.01
+    )
+    width = text["positional_embedding"].shape[1]
+    blocks = [k for k in text["transformer"] if k.startswith("resblocks_")]
+    proj_std = width ** -0.5 * (2 * len(blocks)) ** -0.5
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    for name in blocks:
+        blk = text["transformer"][name]
+        for proj, std in (
+            ("q_proj", attn_std), ("k_proj", attn_std), ("v_proj", attn_std),
+            ("out_proj", proj_std),
+        ):
+            blk["attn"][proj]["kernel"] = normal_like(
+                next_key(), blk["attn"][proj]["kernel"], std
+            )
+        blk["mlp"]["c_fc"]["kernel"] = normal_like(
+            next_key(), blk["mlp"]["c_fc"]["kernel"], fc_std
+        )
+        blk["mlp"]["c_proj"]["kernel"] = normal_like(
+            next_key(), blk["mlp"]["c_proj"]["kernel"], proj_std
+        )
+    text["text_projection"] = normal_like(
+        next_key(), text["text_projection"], width ** -0.5
+    )
+
+    visual = params["visual"]
+    if "attnpool" in visual:  # ModifiedResNet tower
+        pool = visual["attnpool"]
+        std = pool["c_proj"]["kernel"].shape[0] ** -0.5  # c_proj.in_features
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            pool[proj]["kernel"] = normal_like(
+                next_key(), pool[proj]["kernel"], std
+            )
+        for name, sub in visual.items():
+            if name.startswith("layer") and "bn3" in sub:
+                sub["bn3"] = dict(sub["bn3"])
+                sub["bn3"]["scale"] = jnp.zeros_like(sub["bn3"]["scale"])
+
+    out = dict(variables)
+    out["params"] = params
+    return out

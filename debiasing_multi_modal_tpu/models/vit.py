@@ -28,10 +28,17 @@ Dtype = Any
 
 
 class VisionTransformer(nn.Module):
-    """``quant="int8"`` runs every transformer Dense and the patch GEMM on the
-    dynamic W8A8 path (ops/quant.py); the class-token output projection stays
-    in the activation dtype — it is the embedding-space head (accuracy-critical
-    and a negligible share of the FLOPs)."""
+    """``quant="int8"`` runs every transformer Dense on the dynamic W8A8 path
+    (ops/quant.py).  Two GEMMs deliberately stay in the activation dtype:
+
+    - the class-token output projection — the embedding-space head
+      (accuracy-critical, negligible FLOPs);
+    - the patch-embedding GEMM — its row-max quantization reduction breaks
+      XLA's patchify-transpose->GEMM layout fusion, forcing the transposed
+      [N, gh, p, gw, p, C] tensor to materialize in a pathologically padded
+      tiled layout (measured: 20.9x expansion, 18 GB HBM at bs 1024 on
+      ViT-B/32 — OOM; docs/DESIGN.md §8.7), and it is a small share of the
+      tower's FLOPs (~2% on ViT-B/32)."""
 
     patch_size: int
     width: int
@@ -64,12 +71,7 @@ class VisionTransformer(nn.Module):
             (p * p * c, self.width),
             self.param_dtype,
         )
-        if self.quant != "none":
-            tokens = int8_dense(
-                patches, kernel, out_dtype=self.dtype, impl=quant_impl(self.quant)
-            )
-        else:
-            tokens = patches @ kernel.astype(self.dtype)
+        tokens = patches @ kernel.astype(self.dtype)
 
         cls = self.param(
             "class_embedding",

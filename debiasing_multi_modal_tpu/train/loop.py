@@ -311,10 +311,40 @@ def train_all_epochs(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     checkpoint_every: int = 10,
+    capture: Optional[dict] = None,
 ):
     """Run the full schedule; returns ``((best_train, best_val, best_test),
     (zs_class, zs_spurious), history)`` — the reference's return tuple
-    (final_main.py:1128) plus the epoch history."""
+    (final_main.py:1128) plus the epoch history.
+
+    ``capture`` (matched-batch-order oracle support): pass an empty dict to
+    record everything that distinguishes this run from a reference run with
+    the same flags — the initial classifier weights in the reference's torch
+    state-dict layout (``init_sd``), the realized per-epoch sample orders for
+    the train and reg loaders (``orders``), per-epoch balanced-val subset
+    orders (``balval``), and the new adapter's random init at the stage
+    switch (``ma_new_sd``).  tests/reference_oracle_runner.py's ``matched``
+    mode injects these into the reference's own trainer (custom Samplers +
+    ``load_state_dict``) so the only remaining cross-implementation deltas
+    are float-arithmetic ones — turning the oracle's statistical bands into
+    numerical agreement.  Adapter-family methods only (the reference's
+    ``resample_ce`` never trains on its resampled loader — PARITY deviation
+    11 — and ``linear_probing``/``contrastive_adapter`` have different or
+    absent reference state-dict surfaces).
+    """
+    if capture is not None:
+        if cfg.tl_method not in (
+            "adapter", "adapter_reg", "adapter_reg_seq", "adapter_reg_seq_alter"
+        ) or cfg.resample_ce:
+            raise ValueError(
+                "capture (matched-order oracle) supports the adapter-family "
+                "methods without resample_ce"
+            )
+        if resume:
+            raise ValueError("capture does not support resumed runs")
+        capture["orders"] = {"train": [], "reg": []}
+        capture["balval"] = []
+        capture["ma_new_sd"] = None
     rng = np.random.default_rng(cfg.random_seed)
     key = jax.random.PRNGKey(cfg.random_seed)
 
@@ -345,6 +375,18 @@ def train_all_epochs(
     single = make_classifier(cfg)
     key, init_key = jax.random.split(key)
     params, batch_stats = _init_variables(single, cfg.input_dim, init_key, cfg.n_cls)
+    if capture is not None:
+        from debiasing_multi_modal_tpu.weights.convert import (
+            adapter_variables_to_torch,
+        )
+
+        capture["init_sd"] = {
+            k: np.asarray(v)
+            for k, v in adapter_variables_to_torch(
+                {"params": jax.device_get(params),
+                 "batch_stats": jax.device_get(batch_stats)}
+            ).items()
+        }
     state = init_train_state(params, batch_stats)
     full_mask = ones_mask(params)
 
@@ -477,8 +519,13 @@ def train_all_epochs(
     plan_cache: dict = {}
 
     def run_train(sub_state, module, split, labels, text, bs, lrs_phase, epoch,
-                  order, mask_tree):
+                  order, mask_tree, role="train"):
         plan = epoch_plan(len(split), bs, shuffle=order is None, rng=rng, order=order)
+        if capture is not None and not (role == "reg" and cfg.balance_val):
+            # the realized sample order this epoch actually consumed (balval
+            # reg orders are recorded once per epoch at their draw site)
+            flat = plan.indices.reshape(-1)[plan.mask.reshape(-1)]
+            capture["orders"][role].append(np.asarray(flat, np.int64))
         lrs = epoch_batch_lrs(cfg, epoch, plan.num_batches, lrs_phase)
         new_state, stats = train_epoch(
             module,
@@ -505,6 +552,11 @@ def train_all_epochs(
         if cfg.balance_val and cfg.is_reg_method:
             reg_order = balanced_subset_indices(reg_split.group, rng, bundle.n_groups)
             reg_bs = min(cfg.batch_size_reg, len(reg_order))
+            if capture is not None:
+                # one draw per epoch, phase 1 included — mirrors the
+                # reference's unconditional per-epoch balance_val call
+                # (final_main.py:920-921), so the runner's shim pops in sync
+                capture["balval"].append(np.asarray(reg_order, np.int64))
         elif reg_split is not None:
             reg_order = None  # shuffle the whole reg split
             reg_bs = cfg.batch_size_reg
@@ -521,7 +573,7 @@ def train_all_epochs(
                 state, single, reg_split,
                 reg_labels_group if group_prompt else reg_labels_target,
                 text_group if group_prompt else text_class,
-                reg_bs, 1, epoch, reg_order, full_mask,
+                reg_bs, 1, epoch, reg_order, full_mask, role="reg",
             )
             if not group_prompt:
                 stats = stats.merge(reg_stats)
@@ -547,6 +599,23 @@ def train_all_epochs(
                     old_s = state.batch_stats["adapter"]
                     ma_params = dict(ma_params)
                     ma_stats = dict(ma_stats)
+                    if capture is not None and not cfg.init_near_identity:
+                        # the new branch's random init — the one stage-switch
+                        # tensor the reference draws from ITS rng (Adapter()
+                        # at final_main.py:335); exported so the runner can
+                        # inject it (init_near_identity copies old instead,
+                        # which both implementations derive identically)
+                        from debiasing_multi_modal_tpu.weights.convert import (
+                            _adapter_mlp_to_torch,
+                        )
+
+                        out: dict = {}
+                        _adapter_mlp_to_torch(
+                            jax.device_get(ma_params["new"]),
+                            jax.device_get(ma_stats["new"]),
+                            "new_adapter.", out,
+                        )
+                        capture["ma_new_sd"] = out
                     ma_params["old"] = old_p
                     ma_stats["old"] = old_s
                     if cfg.init_near_identity:
@@ -567,12 +636,12 @@ def train_all_epochs(
             if cfg.add_adapter:
                 ma_state, stats = run_train(
                     ma_state, multiple, reg_split, labels2, text2,
-                    reg_bs, 2, epoch, reg_order, ma_mask,
+                    reg_bs, 2, epoch, reg_order, ma_mask, role="reg",
                 )
             else:
                 state, stats = run_train(
                     state, single, reg_split, labels2, text2,
-                    reg_bs, 2, epoch, reg_order, full_mask,
+                    reg_bs, 2, epoch, reg_order, full_mask, role="reg",
                 )
             train_res = _stats_to_results(stats, bundle, weighted=False)
         elif cfg.tl_method == "contrastive_adapter":

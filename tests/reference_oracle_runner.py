@@ -112,13 +112,122 @@ def install_shims():
     os.environ.setdefault("MPLBACKEND", "Agg")
 
 
-def run_reference(reference_root: str, argv):
+def run_reference(reference_root: str, argv, matched=None):
+    """``matched``: paths produced by ``train_all_epochs(capture=...)`` —
+    ``{"weights_npz": ..., "orders_json": ...}``.  When given, the reference
+    run is pinned to OUR realized run: identical initial weights
+    (``load_state_dict`` after ``set_model`` / ``set_model_multiple_adapter``)
+    and identical per-epoch sample orders (scripted Samplers + a scripted
+    ``balance_val``).  Sample order and init are the reference trainer's only
+    free variables (its order is fully determined by set_seed + DataLoader
+    shuffle, demo/util.py:61-68 + final_main.py:883), so the remaining
+    cross-implementation difference is float arithmetic — the matched-order
+    oracle asserts numerical, not statistical, agreement."""
     install_shims()
     sys.path.insert(0, os.path.join(reference_root, "demo"))
     sys.path.insert(0, reference_root)
     import importlib
 
+    import numpy as np
+
     fm = importlib.import_module("final_main")
+
+    queues = None
+    traj = []
+    if matched is not None:
+        import torch
+        from torch.utils.data import DataLoader, Subset
+
+        wz = np.load(matched["weights_npz"])
+        with open(matched["orders_json"]) as f:
+            cap = json.load(f)
+        init_sd = {
+            k[len("init/"):]: torch.tensor(np.asarray(wz[k]))
+            for k in wz.files if k.startswith("init/")
+        }
+        manew_sd = {
+            k[len("manew/"):]: torch.tensor(np.asarray(wz[k]))
+            for k in wz.files if k.startswith("manew/")
+        }
+        queues = {
+            "train": [np.asarray(o, np.int64) for o in cap["orders"]["train"]],
+            "reg": [np.asarray(o, np.int64) for o in cap["orders"]["reg"]],
+            "balval": [np.asarray(o, np.int64) for o in cap["balval"]],
+        }
+
+        class ScriptedSampler(torch.utils.data.Sampler):
+            """Pops one full-epoch order per iterator creation; a DataLoader
+            calls ``iter(sampler)`` exactly once per epoch iterated."""
+
+            def __init__(self, queue, n):
+                self.queue, self.n = queue, n
+
+            def __iter__(self):
+                assert self.queue, "sampler queue exhausted — epoch desync"
+                order = self.queue.pop(0)
+                assert len(order) == self.n, (len(order), self.n)
+                return iter(order.tolist())
+
+            def __len__(self):
+                return self.n
+
+        def _script_loaders(loaders):
+            loaders = list(loaders)
+            tl = loaders[0]
+            loaders[0] = DataLoader(
+                tl.dataset, batch_size=tl.batch_size,
+                sampler=ScriptedSampler(queues["train"], len(tl.dataset)),
+                num_workers=0,
+            )
+            if len(loaders) == 4 and not queues["balval"]:
+                rl = loaders[1]
+                loaders[1] = DataLoader(
+                    rl.dataset, batch_size=rl.batch_size,
+                    sampler=ScriptedSampler(queues["reg"], len(rl.dataset)),
+                    num_workers=0,
+                )
+            return tuple(loaders)
+
+        orig_set_model = fm.set_model
+        def _set_model(opt):
+            classifier, criterion = orig_set_model(opt)
+            classifier.load_state_dict(init_sd, strict=True)
+            return classifier, criterion
+        fm.set_model = _set_model
+
+        orig_smma = fm.set_model_multiple_adapter
+        def _smma(opt, erm_classifier):
+            clf, criterion = orig_smma(opt, erm_classifier)
+            if manew_sd:
+                res = clf.load_state_dict(manew_sd, strict=False)
+                assert not res.unexpected_keys, res.unexpected_keys
+                assert all(k.startswith("old_cls.") for k in res.missing_keys), (
+                    res.missing_keys
+                )
+            return clf, criterion
+        fm.set_model_multiple_adapter = _smma
+
+        def _balance_val(val_loader, opt, print_procedure=False):
+            # reference balance_val (final_main.py:346-379) with the
+            # per-epoch order scripted instead of np.random-drawn; same
+            # Subset-relative index space, same batch-size shrink rule
+            order = queues["balval"].pop(0)
+            bs = min(opt.batch_size_reg, len(order))
+            return DataLoader(
+                Subset(val_loader.dataset, order.tolist()),
+                shuffle=False, batch_size=bs,
+            )
+        fm.balance_val = _balance_val
+
+        orig_validate = fm.validate
+        def _validate(*a, **kw):
+            out = orig_validate(*a, **kw)
+            traj.append({
+                "label": kw.get("print_label", ""),
+                "group_acc": {k: float(v) for k, v in out[2].items()},
+            })
+            return out
+        fm.validate = _validate
 
     # single-core host: no DataLoader worker processes
     import data.celeba_embeddings as cemb
@@ -126,31 +235,36 @@ def run_reference(reference_root: str, argv):
     import data.waterbirds_embeddings as wemb
     import data.waterbirds_embeddings_reg as wreg
 
+    def _rebind(orig):
+        def wrapped(d, e, bt, bv, num_workers=0, transform=None):
+            out = orig(d, e, bt, bv, num_workers=0)
+            return _script_loaders(out) if matched is not None else out
+        return wrapped
+
     for mod, attr in (
         (wemb, "load_waterbirds_embeddings"),
         (wreg, "load_waterbirds_embeddings"),
         (cemb, "load_celeba_embeddings"),
         (creg, "load_celeba_embeddings"),
     ):
-        orig = getattr(mod, attr)
-        setattr(
-            mod,
-            attr,
-            lambda d, e, bt, bv, num_workers=0, transform=None, _o=orig: _o(
-                d, e, bt, bv, num_workers=0
-            ),
-        )
+        setattr(mod, attr, _rebind(getattr(mod, attr)))
 
     sys.argv = ["final_main.py"] + list(argv)
     opt = fm.parse_option()
     (tr, va, te), (zc, zs) = fm.train_all_epochs(opt)
-    return {
+    if queues is not None:
+        leftover = {k: len(v) for k, v in queues.items()}
+        assert not any(leftover.values()), f"unconsumed orders: {leftover}"
+    result = {
         "train": {k: float(v) for k, v in tr.items()},
         "val": {k: float(v) for k, v in va.items()},
         "test": {k: float(v) for k, v in te.items()},
         "zs_class": {k: float(v) for k, v in zc.items()},
         "zs_spurious": {k: float(v) for k, v in zs.items()},
     }
+    if matched is not None:
+        result["validate_trajectory"] = traj
+    return result
 
 
 def eval_checkpoint(reference_root: str, argv, pth_path: str):
@@ -238,6 +352,8 @@ if __name__ == "__main__":
         result = eval_checkpoint(root, spec["argv"], spec["pth"])
     elif spec.get("mode") == "supcon_loss":
         result = supcon_loss_oracle(root, spec)
+    elif spec.get("mode") == "matched":
+        result = run_reference(root, spec["argv"], matched=spec["matched"])
     else:
         result = run_reference(root, spec["argv"])
     print("ORACLE_RESULT " + json.dumps(result))
