@@ -22,7 +22,7 @@ array accumulation into the columnar EmbeddingTable.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Iterable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,13 @@ from debiasing_multi_modal_tpu.parallel.mesh import (
 from debiasing_multi_modal_tpu.tokenizer import tokenize
 
 ZS_TEMPERATURE = 0.02  # clip_inference.py:124
+
+
+class UploadedBatch(NamedTuple):
+    """A batch already staged on device (padded), plus its true row count."""
+
+    images: jax.Array
+    rows: int
 
 
 @functools.lru_cache(maxsize=8)
@@ -122,13 +129,14 @@ class ExtractionRunner:
         # clip_inference.py:63-65; do NOT add l2 normalization here)
         w = zeroshot_text.T.astype(np.float32)
         self.zs_weights = jax.device_put(jnp.asarray(w), rep)
+        self._data_sh = batch_sharding(self.mesh)
         self._step = self._build_step()
 
     def _build_step(self):
         model = self.model
         preprocessed = self.preprocessed
         normalized = self.normalized
-        data_sh = batch_sharding(self.mesh)
+        data_sh = self._data_sh
         rep = replicated(self.mesh)
 
         def step(variables, zs_weights, images):
@@ -155,20 +163,30 @@ class ExtractionRunner:
             out_shardings=(data_sh, data_sh),
         )
 
-    def encode_batch_async(self, images: np.ndarray):
-        """Dispatch one batch; returns device arrays (no host sync).
-
-        The batch is padded to a multiple of the mesh size; callers slice
-        the first ``b`` rows after conversion.
-        """
+    def upload_batch(self, images: np.ndarray) -> UploadedBatch:
+        """Stage one uint8 batch on device (padded to the mesh multiple) —
+        the H2D half of a step, separated so ``run`` can overlap the next
+        batch's upload with the current batch's compute (the tunnel-bound
+        term of DESIGN §9.1's budget)."""
         b = images.shape[0]
         padded = pad_to_multiple(b, self.n_devices)
         if padded != b:
             images = np.concatenate(
                 [images, np.repeat(images[-1:], padded - b, axis=0)], axis=0
             )
-        emb, preds = self._step(self.variables, self.zs_weights, jnp.asarray(images))
-        return emb, preds, b
+        return UploadedBatch(jax.device_put(images, self._data_sh), b)
+
+    def encode_batch_async(self, images):
+        """Dispatch one batch; returns device arrays (no host sync).
+
+        Accepts a host uint8 array (padded + uploaded here) or an
+        :class:`UploadedBatch` already staged by :meth:`upload_batch`;
+        callers slice the first ``b`` rows after conversion.
+        """
+        if not isinstance(images, UploadedBatch):
+            images = self.upload_batch(images)
+        emb, preds = self._step(self.variables, self.zs_weights, images.images)
+        return emb, preds, images.rows
 
     def encode_batch(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """uint8 [B, H, W, 3] -> (embeddings [B, D] f32, preds [B] i32)."""
@@ -183,12 +201,17 @@ class ExtractionRunner:
         shard_dir: Optional[str] = None,
         shard_every: int = 0,
         shard_meta: Optional[Dict] = None,
+        upload_depth: int = 2,
     ) -> EmbeddingTable:
         """Drive extraction over an iterator of (uint8 images, metadata cols).
 
         Metadata cols must include filenames/y/place/group/split.  Host
         decode overlaps device compute via a background prefetch thread
-        (depth 0 disables).  Dispatch runs ``max_in_flight`` batches ahead of
+        (depth 0 disables).  A second background stage (``upload_depth``;
+        0 disables) runs ``device_put`` of upcoming batches so the H2D
+        transfer — the dominant e2e term on a tunnel link (DESIGN §9.1) —
+        overlaps the current batch's device compute instead of serializing
+        with it.  Dispatch runs ``max_in_flight`` batches ahead of
         result conversion — enough to pipeline host and device, bounded so
         queued input buffers and retained outputs can't exhaust HBM on long
         streams.
@@ -215,6 +238,16 @@ class ExtractionRunner:
             from debiasing_multi_modal_tpu.data.prefetch import prefetch
 
             batches = prefetch(batches, depth=prefetch_depth)
+        if upload_depth:
+            from debiasing_multi_modal_tpu.data.prefetch import prefetch
+
+            # the worker thread performs the device_put when it pulls from
+            # this generator — upload of batch N+1..N+depth proceeds while
+            # the main thread dispatches/drains batch N
+            batches = prefetch(
+                ((self.upload_batch(im), meta) for im, meta in batches),
+                depth=upload_depth,
+            )
         pending = []
         embs, preds = [], []
         cols = {k: [] for k in ("filenames", "y", "place", "group", "split")}

@@ -45,7 +45,10 @@ bash scripts/run_sweep_wb.sh "${SWEEP_EXTRA[@]}"
 bash scripts/run_sweep_ca.sh "${SWEEP_EXTRA[@]}"
 
 # ---- ablation rows used by check_vs_baseline (the exact configurations the
-# reference's ablations notebook reads, cells 7-21)
+# reference's ablations notebook reads, cells 7-21).  REPRO_ABLATIONS=0
+# skips them (the default-suite mini rehearsal guards the chain's spine in
+# ~2 min; the full ladder stays in the opt-in RUN_REPRO_TEST rehearsal).
+if [ "${REPRO_ABLATIONS:-1}" = "1" ]; then
 emb="$ROOT/embeddings_unnormalized/waterbirds"
 common=(--dataset waterbirds
   --text_embedding_dir "$emb/clip_class.json"
@@ -77,6 +80,7 @@ python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@
 python -m debiasing_multi_modal_tpu.cli.sweep_main "${common[@]}" "${two_phase[@]}" \
   --tl_method adapter_reg_seq_alter --balance_val --add_adapter \
   --lr_list 1 --bs_list 1024 --bsr_list 512 "${SWEEP_EXTRA[@]}"
+fi
 
 # ---- report tables + automated acceptance diff
 python scripts/ablation_tables.py "$RESULTS"

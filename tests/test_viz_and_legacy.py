@@ -210,3 +210,35 @@ def test_umap_lite_deterministic():
     np.testing.assert_array_equal(a, b)
     c = UMAP(n_components=2, random_state=7, n_epochs=30).fit_transform(X)
     assert np.abs(a - c).max() > 0  # different seed, different layout
+
+
+def test_umap_lite_trustworthiness_and_continuity():
+    """Quantitative quality pin for the from-scratch UMAP (VERDICT r3 item 6):
+    the docstring's "cluster structure and neighbor preservation match" claim
+    as an assertion, not prose.  sklearn's trustworthiness measures how many
+    embedded-space neighbors are true input-space neighbors (1.0 = perfect);
+    swapping the roles measures continuity (input neighbors preserved in the
+    embedding).  Calibrated on this fixture shape: trustworthiness 0.928-0.929,
+    continuity 0.938-0.939, embedded-kNN cluster purity 1.0 for both a
+    well-separated and a half-spread center draw; thresholds leave margin for
+    platform BLAS jitter without admitting a broken projection (a random 2-D
+    layout of this fixture scores ~0.5 on both)."""
+    from sklearn.manifold import trustworthiness
+    from sklearn.neighbors import NearestNeighbors
+
+    from debiasing_multi_modal_tpu.viz.umap_lite import UMAP
+
+    rng = np.random.default_rng(0)
+    n_per, d = 100, 64
+    labels = np.repeat(np.arange(4), n_per)
+    for spread in (4.0, 2.0):
+        centers = rng.standard_normal((4, d)) * spread
+        X = np.concatenate([c + rng.standard_normal((n_per, d)) for c in centers])
+        emb = UMAP(n_components=2, n_neighbors=15, random_state=42).fit_transform(X)
+        trust = trustworthiness(X, emb, n_neighbors=15)
+        cont = trustworthiness(emb, X, n_neighbors=15)
+        assert trust >= 0.88, (spread, trust)
+        assert cont >= 0.89, (spread, cont)
+        _, idx = NearestNeighbors(n_neighbors=11).fit(emb).kneighbors(emb)
+        purity = (labels[idx[:, 1:]] == labels[:, None]).mean()
+        assert purity >= 0.97, (spread, purity)
