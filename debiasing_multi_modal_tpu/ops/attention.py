@@ -4,14 +4,19 @@ This is the single attention primitive used by every transformer block in the
 framework (text transformer, ViT, and the single-query attention pool of the
 ModifiedResNet — reference ``clip/model.py``:58-91, 171-192).
 
-Two interchangeable implementations:
+Three interchangeable implementations:
 
-- ``xla``: plain einsum attention.  For CLIP's tiny sequence lengths (50-257
-  tokens) XLA already fuses this well; it is also the CPU/debug path.
+- ``xla``: plain einsum attention.  The CPU/debug path and the mid-range
+  fallback; XLA fuses it well when the score tensor fits memory.
+- ``short``: the whole-sequence merged-layout Pallas kernel
+  (:mod:`debiasing_multi_modal_tpu.ops.short_attention`) for CLIP's short
+  self-attention regime (S <= 256) — the full-model winner on TPU
+  (ViT-B/32 extraction +32%, docs/DESIGN.md §8.8), preferred by ``auto``
+  whenever :func:`short_attention.supported` holds.
 - ``pallas``: a blockwise (flash-style) kernel written in Pallas
-  (:mod:`debiasing_multi_modal_tpu.ops.flash_attention`), profitable for the
-  longer-sequence configurations (ViT-L/14 = 257 tokens, pod-scale batches)
-  and written blockwise so longer contexts get it for free.
+  (:mod:`debiasing_multi_modal_tpu.ops.flash_attention`) for the
+  prohibitive-score long-sequence regime, written blockwise so longer
+  contexts get it for free.
 
 Numerics policy (measured, round 2): attention logits are *stored* in the
 activation dtype (one rounding at the MXU epilogue) while the softmax math
@@ -119,7 +124,27 @@ def multi_head_attention(
     causal: bool = False,
     impl: str = _DEFAULT_IMPL,
 ) -> jax.Array:
-    """Attention over merged-head inputs [batch, seq, model_dim]."""
+    """Attention over merged-head inputs [batch, seq, model_dim].
+
+    ``impl="short"`` selects the whole-sequence merged-layout kernel
+    (:mod:`debiasing_multi_modal_tpu.ops.short_attention`), which consumes
+    q/k/v in THIS layout directly — no head-split reshape, no transposes.
+    On TPU, ``auto`` prefers it whenever the shape qualifies: it is the one
+    kernel that beat XLA in a FULL-MODEL measurement (ViT-B/32 extraction
+    9,812 -> 12,910 imgs/s, +32% — docs/DESIGN.md §8.8); longer sequences
+    fall through to the flash/XLA policy below.
+    """
+    if impl == "auto" and _on_tpu():
+        from debiasing_multi_modal_tpu.ops import short_attention as sa
+
+        if sa.supported(q, k, v, num_heads, mask=mask):
+            impl = "short"
+    if impl == "short":
+        from debiasing_multi_modal_tpu.ops import short_attention as sa
+
+        if mask is not None:
+            raise ValueError("additive masks use the XLA path")
+        return sa.short_attention(q, k, v, num_heads, causal=causal)
     b, sq, d = q.shape
     skv = k.shape[1]
     hd = d // num_heads

@@ -1,0 +1,227 @@
+"""Whole-sequence merged-head attention kernel for the short-S regime.
+
+Motivation (measured, round 4 — docs/DESIGN.md §8.8): at CLIP's flagship
+shape (ViT-B/32, S=50, batch 1024) the XLA attention path costs 45.5 ms of
+the 97.7 ms block stack — ~46% of wall time for ~10% of the FLOPs — because
+the [B, H, 50, 50] score tensor lane-pads 50->128 and makes three HBM round
+trips (logits write, softmax read+write, PV read), and the head-split
+einsums force sublane-crossing relayouts of every q/k/v.  The blockwise
+flash kernel (ops/flash_attention.py) cannot recover this regime either: its
+8.3x *standalone* win dies in context because its [B, S, H, D] layout
+contract costs four transposed copies per attention (DESIGN §5, lesson 1).
+
+This kernel removes both costs at once by changing the layout contract:
+
+- inputs and output stay in the **merged-head [B, S, D] layout the
+  surrounding projection GEMMs already produce and consume** — the grid
+  slices only the batch axis, so every DMA is a native-layout contiguous
+  slab and there is zero transpose glue on either side;
+- each grid cell holds a block of images' full q/k/v in VMEM and loops the
+  heads as static lane slices, so scores live and die in VMEM in f32 —
+  nothing but the [gB, S, D] output ever returns to HBM.
+
+Scope: self-attention (Sq == Skv == S), S small enough that a whole
+sequence's scores fit VMEM comfortably (S <= 256 covers every CLIP text and
+ViT-B tower; the supported() gate is explicit).  The reference realizes
+these attentions via torch ``nn.MultiheadAttention``
+(/root/reference/clip/model.py:58-91, 171-192); parity is pinned against the
+XLA formulation in tests/test_short_attention.py.
+
+Differentiable via custom VJP: the backward recomputes attention with the
+plain XLA formulation and takes its gradient (the score tensor fits by
+definition in this regime).  Forward-only use (extraction, the frozen CLIP
+towers in every trainer path) never touches it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_NEG_INF = float(-1e30)
+# Whole-sequence scores must fit VMEM: S rows pad to the 16-sublane bf16
+# tile and 128 lanes, so past a few hundred tokens the padding waste and
+# VMEM pressure hand the regime back to flash_attention / XLA.
+MAX_SEQ_LEN = 256
+# VMEM budget for one grid cell's resident values (q/k/v/o slabs + f32
+# score temporaries), conservative against the ~16 MiB/core scoped limit:
+# Mosaic double-buffers the three input DMAs on top of this, and the
+# measured stack allocation runs ~2x the naive model (a gb=16 ViT-B/32
+# cell modelled at 7.2 MiB compiled to a 16.57 MiB stack and OOMed).
+VMEM_BUDGET_BYTES = 6 << 20
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _cell_bytes(s: int, d: int, heads: int, itemsize: int) -> int:
+    """Per-image VMEM footprint of one grid cell (registers are tiled, so
+    count padded shapes: sublanes to the dtype tile, lanes to 128)."""
+    sub = 16 if itemsize == 2 else 8
+    s_r = _round_up(s, sub)
+    slabs = 4 * s_r * _round_up(d, 128) * itemsize  # q, k, v, o
+    # f32 logits + exp for one head at a time, plus the bf16 PV operand
+    s_l = _round_up(s, 128)
+    scores = 2 * _round_up(s, 8) * s_l * 4 + s_r * s_l * itemsize
+    return slabs + scores
+
+
+def pick_block_b(b: int, s: int, d: int, heads: int, itemsize: int = 2) -> int:
+    """Largest power-of-two batch block whose cell fits the VMEM budget."""
+    per_img = _cell_bytes(s, d, heads, itemsize)
+    gb = 1
+    while gb < b and 2 * gb * per_img <= VMEM_BUDGET_BYTES:
+        gb *= 2
+    return gb
+
+
+def supported(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+              *, mask: Optional[jax.Array] = None) -> bool:
+    """Gate for the short-S regime: merged-head self-attention, small S."""
+    if mask is not None:
+        return False
+    if q.ndim != 3 or q.shape != k.shape or k.shape != v.shape:
+        return False
+    b, s, d = q.shape
+    if not (1 < s <= MAX_SEQ_LEN):
+        return False
+    if d % num_heads or d % 128:
+        return False
+    return pick_block_b(b, s, d, num_heads, q.dtype.itemsize) >= 1
+
+
+def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                       scale: float, causal: bool):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    s, d = q.shape[1], q.shape[2]
+    hd = d // heads
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_add = jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
+    for h in range(heads):
+        qh = jax.lax.slice_in_dim(q, h * hd, (h + 1) * hd, axis=2)
+        kh = jax.lax.slice_in_dim(k, h * hd, (h + 1) * hd, axis=2)
+        vh = jax.lax.slice_in_dim(v, h * hd, (h + 1) * hd, axis=2)
+        # [gB, S, S] logits, f32, never leaving VMEM
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            logits = logits + causal_add[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            w.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # write each head straight into its output lane slice — holding all
+        # H chunks for one concat keeps H lane-padded [gB, S, 128] values
+        # live at once and was the dominant term of the gb=16 VMEM OOM
+        o_ref[:, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+
+
+def _xla_merged(q, k, v, num_heads, causal):
+    """Plain merged-head XLA attention — the VJP recomputation target and
+    the numerics oracle for the kernel tests (mirrors ops/attention.py's
+    _xla_attention modulo the bf16 logit-storage rounding, which the kernel
+    does not need: its logits stay f32 in VMEM for free)."""
+    b, s, d = q.shape
+    hd = d // num_heads
+    qh = q.reshape(b, s, num_heads, hd)
+    kh = k.reshape(b, s, num_heads, hd)
+    vh = v.reshape(b, s, num_heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (hd ** -0.5)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        logits = jnp.where(col <= row, logits, _NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", w.astype(v.dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype).reshape(b, s, d)
+
+
+def _forward(q, k, v, num_heads, causal, interpret, block_b):
+    b, s, d = q.shape
+    gb = block_b or pick_block_b(b, s, d, num_heads, q.dtype.itemsize)
+    b_pad = _round_up(b, gb)
+    if b_pad != b:
+        q, k, v = (jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+                   for x in (q, k, v))
+    out = pl.pallas_call(
+        functools.partial(
+            _short_attn_kernel, heads=num_heads,
+            scale=(d // num_heads) ** -0.5, causal=causal,
+        ),
+        grid=(b_pad // gb,),
+        in_specs=[pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:b] if b_pad != b else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _short(q, k, v, num_heads, causal, interpret, block_b):
+    return _forward(q, k, v, num_heads, causal, interpret, block_b)
+
+
+def _short_fwd(q, k, v, num_heads, causal, interpret, block_b):
+    return _forward(q, k, v, num_heads, causal, interpret, block_b), (q, k, v)
+
+
+def _short_bwd(num_heads, causal, interpret, block_b, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_merged(q, k, v, num_heads, causal),
+                     q, k, v)
+    return vjp(g)
+
+
+_short.defvjp(_short_fwd, _short_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret", "block_b")
+)
+def short_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    *,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    block_b: Optional[int] = None,
+) -> jax.Array:
+    """Fused short-S attention: q/k/v [B, S, D] merged-head -> [B, S, D].
+
+    ``interpret=None`` resolves by backend like flash_attention: compiled
+    Mosaic on TPU, Pallas interpret mode elsewhere.  ``block_b`` overrides
+    the VMEM-budgeted batch block (STATIC so tuning probes re-trace).
+    Callers should gate on :func:`supported`; violations raise here.
+    """
+    if not supported(q, k, v, num_heads):
+        raise ValueError(
+            f"short_attention does not support q{q.shape} k{k.shape} "
+            f"v{v.shape} heads={num_heads} (see supported())"
+        )
+    if interpret is None:
+        from debiasing_multi_modal_tpu.ops.attention import _on_tpu
+
+        interpret = not _on_tpu()
+    return _short(q, k, v, num_heads, causal, interpret, block_b)

@@ -58,7 +58,11 @@ def row(name, ms, gflops):
 def gemm_loop_ms(m, k, n, reps=3):
     """ms per GEMM, measured as LOOP serial GEMMs inside ONE program (the
     w + tiny*acc perturbation defeats loop-invariant hoisting/CSE while
-    costing only an elementwise pass over the 1-5 MB weight)."""
+    costing only an elementwise pass over the 1-5 MB weight).  The carry
+    consumes the FULL output via sum() — a single-element carry lets XLA
+    dead-code-eliminate the GEMM down to one dot product (first run of this
+    script reported 3-7x peak; sum() fuses into the GEMM epilogue, so the
+    consumption itself costs one read of the output tile)."""
     a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
     w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16)
 
@@ -66,7 +70,7 @@ def gemm_loop_ms(m, k, n, reps=3):
     def prog(a, w):
         def body(_, acc):
             out = a @ (w + (acc * 1e-30).astype(w.dtype))
-            return out.reshape(-1)[0].astype(jnp.float32)
+            return out.astype(jnp.float32).sum()
 
         return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
 

@@ -1,0 +1,125 @@
+"""Unit + parity tests for the short-S merged-layout attention kernel.
+
+ops/short_attention.py is the round-4 answer to the ViT-B/32 MFU laggard
+(docs/DESIGN.md §8.8): whole-sequence attention over the native [B, S, D]
+layout, scores never leaving VMEM.  Reference semantics: torch
+``nn.MultiheadAttention`` self-attention as used by
+/root/reference/clip/model.py:171-192 (plus its causal text variant,
+:328-334).  On CPU the kernel runs in Pallas interpret mode; the numerics
+oracle is the plain XLA formulation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debiasing_multi_modal_tpu.ops.attention import multi_head_attention
+from debiasing_multi_modal_tpu.ops.short_attention import (
+    MAX_SEQ_LEN,
+    _xla_merged,
+    pick_block_b,
+    short_attention,
+    supported,
+)
+
+
+def _qkv(b, s, d, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.standard_normal((b, s, d)).astype(dtype))
+        for _ in range(3)
+    )
+
+
+@pytest.mark.parametrize(
+    "b,s,d,h,causal",
+    [
+        (4, 50, 768, 12, False),   # ViT-B/32 tower shape
+        (5, 77, 512, 8, True),     # text tower shape (causal)
+        (2, 197, 768, 12, False),  # ViT-B/16 tower shape
+        (3, 16, 128, 2, False),    # minimal lane-aligned shape
+    ],
+)
+def test_matches_xla_formulation(b, s, d, h, causal):
+    q, k, v = _qkv(b, s, d)
+    out = short_attention(q, k, v, h, causal=causal)
+    ref = _xla_merged(q, k, v, h, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_matches_production_dispatch_path():
+    """impl="short" through multi_head_attention == the default XLA path
+    (the integration point every transformer block uses)."""
+    q, k, v = _qkv(4, 50, 768, seed=3)
+    a = multi_head_attention(q, k, v, 12, impl="short")
+    b = multi_head_attention(q, k, v, 12, impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_batch_padding_roundtrip():
+    """Batches that don't divide the block pad with zero rows and slice
+    back exactly (zero-row softmax output never leaks)."""
+    q, k, v = _qkv(3, 50, 256, seed=1)
+    out = short_attention(q, k, v, 2, block_b=2)
+    ref = _xla_merged(q, k, v, 2, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_gradients_match_xla():
+    q, k, v = _qkv(2, 50, 256, seed=2)
+
+    def loss_short(q, k, v):
+        return (short_attention(q, k, v, 4, causal=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_merged(q, k, v, 4, True) ** 2).sum()
+
+    gs = jax.grad(loss_short, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-4)
+
+
+def test_bf16_cosine_vs_f32():
+    q, k, v = _qkv(2, 77, 512, seed=4)
+    ref = np.asarray(_xla_merged(q, k, v, 8, False))
+    out = np.asarray(
+        short_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), 8,
+        ).astype(jnp.float32)
+    )
+    cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.999
+
+
+def test_supported_gate():
+    q, k, v = _qkv(2, 50, 768)
+    assert supported(q, k, v, 12)
+    # S too long for the whole-sequence regime
+    ql, kl, vl = _qkv(1, MAX_SEQ_LEN + 64, 768)
+    assert not supported(ql, kl, vl, 12)
+    # D not lane-aligned
+    qd, kd, vd = _qkv(2, 50, 192)
+    assert not supported(qd, kd, vd, 3)
+    # cross-attention (Sq != Skv) stays out
+    assert not supported(q[:, :10], k, v, 12)
+    # additive masks stay on the XLA path
+    assert not supported(q, k, v, 12, mask=jnp.zeros((50, 50)))
+    with pytest.raises(ValueError):
+        short_attention(qd, kd, vd, 3)
+
+
+def test_pick_block_b_respects_budget():
+    from debiasing_multi_modal_tpu.ops.short_attention import (
+        VMEM_BUDGET_BYTES,
+        _cell_bytes,
+    )
+
+    for (b, s, d, h) in [(1024, 50, 768, 12), (64, 197, 768, 12),
+                         (4096, 77, 512, 8)]:
+        gb = pick_block_b(b, s, d, h)
+        assert gb >= 1 and (gb & (gb - 1)) == 0
+        assert gb * _cell_bytes(s, d, h, 2) <= VMEM_BUDGET_BYTES or gb == 1
