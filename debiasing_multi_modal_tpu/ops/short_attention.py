@@ -41,6 +41,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 _NEG_INF = float(-1e30)
 # Whole-sequence scores must fit VMEM: S rows pad to the 16-sublane bf16
@@ -155,7 +157,10 @@ def _xla_merged(q, k, v, num_heads, causal):
     return out.astype(q.dtype).reshape(b, s, d)
 
 
-def _forward(q, k, v, num_heads, causal, interpret, block_b):
+def _pallas_forward(q, k, v, num_heads, causal, interpret, block_b, scale):
+    """The raw pallas_call on (possibly per-shard) shapes.  ``scale`` is
+    passed explicitly because under head (D-axis) sharding the local head
+    count changes but the softmax scale must stay the GLOBAL head_dim's."""
     b, s, d = q.shape
     gb = block_b or pick_block_b(b, s, d, num_heads, q.dtype.itemsize)
     b_pad = _round_up(b, gb)
@@ -164,8 +169,7 @@ def _forward(q, k, v, num_heads, causal, interpret, block_b):
                    for x in (q, k, v))
     out = pl.pallas_call(
         functools.partial(
-            _short_attn_kernel, heads=num_heads,
-            scale=(d // num_heads) ** -0.5, causal=causal,
+            _short_attn_kernel, heads=num_heads, scale=scale, causal=causal,
         ),
         grid=(b_pad // gb,),
         in_specs=[pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0))] * 3,
@@ -174,6 +178,76 @@ def _forward(q, k, v, num_heads, causal, interpret, block_b):
         interpret=interpret,
     )(q, k, v)
     return out[:b] if b_pad != b else out
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(num_heads: int, causal: bool, interpret: bool,
+                         block_b: Optional[int], d: int):
+    """A custom_partitioning wrapper so the Mosaic kernel works inside a
+    multi-device ``jit`` (the production extraction step is a pjit over a dp
+    mesh — extract/runner.py; a bare custom call has no SPMD rule and GSPMD
+    would replicate it).  The grid slices only the batch axis, so batch
+    sharding is free; the D axis may be sharded at head boundaries (each
+    shard computes its own heads — the Megatron tp layout of parallel/tp.py);
+    S and head_dim must be replicated.  Cached per static config so repeated
+    traces reuse one primitive."""
+    hd = d // num_heads
+    scale = hd ** -0.5
+
+    @custom_partitioning
+    def fwd(q, k, v):
+        return _pallas_forward(q, k, v, num_heads, causal, interpret,
+                               block_b, scale)
+
+    def _normalize(mesh, sharding):
+        spec = getattr(sharding, "spec", None)
+        if spec is None:
+            return NamedSharding(mesh, PartitionSpec(None, None, None))
+        spec = tuple(spec) + (None,) * (3 - len(tuple(spec)))
+        d_axes = spec[2]
+        if d_axes is not None:
+            axes = d_axes if isinstance(d_axes, tuple) else (d_axes,)
+            shards = 1
+            for a in axes:
+                shards *= mesh.shape[a]
+            # only head-boundary slices are computable shard-locally
+            if shards > 1 and num_heads % shards != 0:
+                d_axes = None
+        return NamedSharding(mesh, PartitionSpec(spec[0], None, d_axes))
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _normalize(mesh, a.sharding) for a in arg_shapes
+        )
+        # q/k/v must agree for the kernel's shard-local math
+        arg_shardings = (arg_shardings[0],) * 3
+        result_sharding = arg_shardings[0]
+
+        def lower_fn(q, k, v):
+            local_heads = num_heads * q.shape[2] // d
+            return _pallas_forward(q, k, v, local_heads, causal, interpret,
+                                   block_b, scale)
+
+        return mesh, lower_fn, result_sharding, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _normalize(mesh, arg_shapes[0].sharding)
+
+    fwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="b s (h e), b s (h e), b s (h e) -> b s (h e)",
+        need_replication_factors=("s", "e"),
+        h=num_heads,
+        e=hd,
+    )
+    return fwd
+
+
+def _forward(q, k, v, num_heads, causal, interpret, block_b):
+    return _partitioned_forward(
+        num_heads, causal, interpret, block_b, q.shape[2]
+    )(q, k, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

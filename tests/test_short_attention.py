@@ -112,6 +112,92 @@ def test_supported_gate():
         short_attention(qd, kd, vd, 3)
 
 
+class TestMeshPartitioning:
+    """The kernel inside a multi-device jit (the production extraction step
+    is a pjit over a dp mesh).  custom_partitioning gives the Mosaic custom
+    call its SPMD rule: batch shards freely, D shards at head boundaries
+    (the Megatron tp layout), S/head_dim stay replicated."""
+
+    def _mesh(self, shape, names):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()).reshape(shape), names)
+
+    def test_dp_sharded_batch_no_allgather(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh((8,), ("dp",))
+        sh = NamedSharding(mesh, P("dp", None, None))
+        q, k, v = _qkv(16, 50, 256, seed=5)
+        f = jax.jit(
+            lambda q, k, v: short_attention(q, k, v, 4, causal=True),
+            in_shardings=(sh,) * 3, out_shardings=sh,
+        )
+        txt = f.lower(q, k, v).compile().as_text()
+        assert "all-gather" not in txt
+        out = f(q, k, v)
+        assert out.sharding.is_equivalent_to(sh, 3)
+        ref = _xla_merged(q, k, v, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_tp_head_boundary_d_sharding(self):
+        """D sharded over 4 devices x 4 heads -> one head per shard,
+        computed shard-locally (no all-gather of q/k/v)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh((2, 4), ("dp", "tp"))
+        sh = NamedSharding(mesh, P("dp", None, "tp"))
+        q, k, v = _qkv(8, 50, 256, seed=6)
+        f = jax.jit(
+            lambda q, k, v: short_attention(q, k, v, 4),
+            in_shardings=(sh,) * 3, out_shardings=sh,
+        )
+        txt = f.lower(q, k, v).compile().as_text()
+        assert "all-gather" not in txt
+        out = f(q, k, v)
+        ref = _xla_merged(q, k, v, 4, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_non_head_boundary_sharding_falls_back_replicated(self):
+        """4 heads over an 8-way D sharding cannot slice at head boundaries;
+        the partition rule replicates D (correctness over scaling)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh((8,), ("tp",))
+        sh = NamedSharding(mesh, P(None, None, "tp"))
+        q, k, v = _qkv(4, 50, 256, seed=7)
+        f = jax.jit(
+            lambda q, k, v: short_attention(q, k, v, 4),
+            in_shardings=(sh,) * 3,
+        )
+        out = f(q, k, v)
+        ref = _xla_merged(q, k, v, 4, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_grad_under_dp_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh((8,), ("dp",))
+        sh = NamedSharding(mesh, P("dp", None, None))
+        q, k, v = _qkv(8, 50, 256, seed=8)
+
+        def loss(q, k, v):
+            return (short_attention(q, k, v, 4) ** 2).sum()
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                    in_shardings=(sh,) * 3)(q, k, v)
+        r = jax.grad(
+            lambda q, k, v: (_xla_merged(q, k, v, 4, False) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-4)
+
+
 def test_pick_block_b_respects_budget():
     from debiasing_multi_modal_tpu.ops.short_attention import (
         VMEM_BUDGET_BYTES,
