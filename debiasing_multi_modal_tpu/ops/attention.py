@@ -9,10 +9,11 @@ Three interchangeable implementations:
 - ``xla``: plain einsum attention.  The CPU/debug path and the mid-range
   fallback; XLA fuses it well when the score tensor fits memory.
 - ``short``: the whole-sequence merged-layout Pallas kernel
-  (:mod:`debiasing_multi_modal_tpu.ops.short_attention`) for CLIP's short
-  self-attention regime (S <= 256) — the full-model winner on TPU
-  (ViT-B/32 extraction +32%, docs/DESIGN.md §8.8), preferred by ``auto``
-  whenever :func:`short_attention.supported` holds.
+  (:mod:`debiasing_multi_modal_tpu.ops.short_attention`) for self-attention
+  whose per-image cell fits VMEM (S=50..577 measured) — the full-model
+  winner on TPU across the whole CLIP family (ViT-B/32 extraction +32%,
+  ViT-L/14 +37%, ViT-L/14@336px +42% — docs/DESIGN.md §8.8), preferred by
+  ``auto`` whenever :func:`short_attention.supported` holds.
 - ``pallas``: a blockwise (flash-style) kernel written in Pallas
   (:mod:`debiasing_multi_modal_tpu.ops.flash_attention`) for the
   prohibitive-score long-sequence regime, written blockwise so longer

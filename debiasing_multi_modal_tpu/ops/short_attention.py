@@ -20,10 +20,13 @@ This kernel removes both costs at once by changing the layout contract:
   heads as static lane slices, so scores live and die in VMEM in f32 —
   nothing but the [gB, S, D] output ever returns to HBM.
 
-Scope: self-attention (Sq == Skv == S), S small enough that a whole
-sequence's scores fit VMEM comfortably (S <= 256 covers every CLIP text and
-ViT-B tower; the supported() gate is explicit).  The reference realizes
-these attentions via torch ``nn.MultiheadAttention``
+Scope: self-attention (Sq == Skv == S), S small enough that one image's
+whole-sequence cell fits VMEM (the ``supported()`` gate checks the byte
+model against the measured ``CELL_VMEM_LIMIT``).  That covers every tower
+the framework ships — text (S=77), ViT-B (S=50/197), ViT-L (S=257), and
+ViT-L@336px (S=577, measured +42%); the ViT-L@448px probe (S=1025, 20 MiB
+cells) is rejected and stays on the flash/XLA policy.  The reference
+realizes these attentions via torch ``nn.MultiheadAttention``
 (/root/reference/clip/model.py:58-91, 171-192); parity is pinned against the
 XLA formulation in tests/test_short_attention.py.
 
@@ -45,10 +48,15 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec
 
 _NEG_INF = float(-1e30)
-# Whole-sequence scores must fit VMEM: S rows pad to the 16-sublane bf16
-# tile and 128 lanes, so past a few hundred tokens the padding waste and
-# VMEM pressure hand the regime back to flash_attention / XLA.
-MAX_SEQ_LEN = 256
+# Whole-sequence scores must fit VMEM.  The effective gate is the measured
+# per-image cell limit below; this policy bound just keeps wildly long
+# sequences on the flash/XLA path without doing the byte math.
+MAX_SEQ_LEN = 1024
+# A single image's cell (q/k/v/o slabs + one head's f32 scores) must fit
+# Mosaic's ~16 MiB scoped VMEM with margin.  Measured boundary (round 4):
+# S=577 D=1024 (8.2 MiB) compiles and wins 1.42x; S=1025 D=1024 (20.4 MiB)
+# VMEM-OOMs in Mosaic.  12 MiB separates them with margin on both sides.
+CELL_VMEM_LIMIT = 12 << 20
 # VMEM budget for one grid cell's resident values (q/k/v/o slabs + f32
 # score temporaries), conservative against the ~16 MiB/core scoped limit:
 # Mosaic double-buffers the three input DMAs on top of this, and the
@@ -94,7 +102,7 @@ def supported(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
         return False
     if d % num_heads or d % 128:
         return False
-    return pick_block_b(b, s, d, num_heads, q.dtype.itemsize) >= 1
+    return _cell_bytes(s, d, num_heads, q.dtype.itemsize) <= CELL_VMEM_LIMIT
 
 
 def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,

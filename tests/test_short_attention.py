@@ -82,6 +82,21 @@ def test_gradients_match_xla():
                                    atol=1e-4)
 
 
+def test_vitl336_shape_bf16():
+    """ViT-L/14@336px tower shape (S=577, gb=1 cells) — only in-regime at
+    the production bf16 itemsize; f32 cells exceed CELL_VMEM_LIMIT."""
+    q, k, v = _qkv(1, 577, 1024, seed=9)
+    ref = np.asarray(_xla_merged(q, k, v, 16, False))
+    out = np.asarray(
+        short_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), 16,
+        ).astype(jnp.float32)
+    )
+    cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.999
+
+
 def test_bf16_cosine_vs_f32():
     q, k, v = _qkv(2, 77, 512, seed=4)
     ref = np.asarray(_xla_merged(q, k, v, 8, False))
@@ -98,7 +113,16 @@ def test_bf16_cosine_vs_f32():
 def test_supported_gate():
     q, k, v = _qkv(2, 50, 768)
     assert supported(q, k, v, 12)
-    # S too long for the whole-sequence regime
+    # the whole CLIP ladder is in-regime (bf16 production dtype)
+    for (s, d, h) in [(77, 512, 8), (197, 768, 12), (257, 1024, 16),
+                      (577, 1024, 16)]:
+        qs, ks, vs = _qkv(1, s, d, dtype=np.float16)  # itemsize 2, like bf16
+        assert supported(qs, ks, vs, h), (s, d)
+    # the ViT-L@448px probe (S=1025, ~20 MiB cells) measured a Mosaic VMEM
+    # OOM — the cell-byte gate must reject it
+    qb, kb, vb = _qkv(1, 1025, 1024, dtype=np.float16)
+    assert not supported(qb, kb, vb, 16)
+    # S past the policy bound
     ql, kl, vl = _qkv(1, MAX_SEQ_LEN + 64, 768)
     assert not supported(ql, kl, vl, 12)
     # D not lane-aligned
