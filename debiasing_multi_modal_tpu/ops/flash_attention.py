@@ -32,6 +32,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 try:  # TPU backend only; tests fall back to interpret mode
     from jax.experimental.pallas import tpu as pltpu
@@ -136,6 +138,7 @@ def supported(q, k, v, *, mask=None) -> bool:
 def _heads_per_cell(
     bh: int, skv_pad: int, head_dim: int,
     block_q: int = BLOCK_Q, block_kv: int = BLOCK_KV,
+    budget: int = 16 << 20,
 ) -> int:
     """Largest packing factor g (divides the merged batch*head dim) whose
     per-cell working set stays inside Mosaic's 16 MB scoped-VMEM limit.
@@ -167,7 +170,7 @@ def _heads_per_cell(
     if block_kv == skv_pad and 512 <= block_q <= 640 and block_kv <= 640:
         return min(rows_g, 4)  # rows_g >= 4 implies 4 | bh
     per_g = 16 * block_q * block_kv + 3584 * block_q
-    cap = (16 << 20) // per_g
+    cap = budget // per_g
     for g in (16, 8, 4, 2):
         if bh % g == 0 and g <= min(rows_g, cap):
             return g
@@ -369,8 +372,105 @@ def _merge_pad(x, b, h, d, s_pad):
     return _pad_to(m, s_pad, 1)
 
 
+def _shard_dim0_partitioning(impl_factory, rule, n_in, n_out):
+    """custom_partitioning for a merged-[B*H, S, D] pallas call: dim 0 is
+    embarrassingly parallel (each batch*head row is an independent
+    attention problem), every other dim must be replicated.  A bare Mosaic
+    custom call has no SPMD rule, so inside a multi-device jit GSPMD would
+    otherwise replicate the whole computation (same gap short_attention.py
+    closes for the merged-layout kernel; the production trainers/extractors
+    are pjits over dp meshes).  ``impl_factory()`` returns the per-shard
+    implementation (closing over the statics); ``rule`` is the Shardy
+    einsum-like rule string."""
+
+    @custom_partitioning
+    def wrapped(*args):
+        return impl_factory()(*args)
+
+    def _norm(mesh, sharding, ndim):
+        spec = getattr(sharding, "spec", None)
+        lead = None
+        if spec is not None and len(tuple(spec)) > 0:
+            lead = tuple(spec)[0]
+        return NamedSharding(
+            mesh, PartitionSpec(lead, *([None] * (ndim - 1)))
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        lead = _norm(mesh, arg_shapes[0].sharding, arg_shapes[0].ndim)
+        arg_shardings = tuple(
+            NamedSharding(mesh, PartitionSpec(lead.spec[0],
+                                              *([None] * (a.ndim - 1))))
+            for a in arg_shapes
+        )
+        results = (result_shape,) if n_out == 1 else tuple(result_shape)
+        result_shardings = tuple(
+            NamedSharding(mesh, PartitionSpec(lead.spec[0],
+                                              *([None] * (r.ndim - 1))))
+            for r in results
+        )
+        if n_out == 1:
+            result_shardings = result_shardings[0]
+
+        def lower_fn(*args):
+            return impl_factory()(*args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        lead = _norm(mesh, arg_shapes[0].sharding, arg_shapes[0].ndim)
+        results = (result_shape,) if n_out == 1 else tuple(result_shape)
+        out = tuple(
+            NamedSharding(mesh, PartitionSpec(lead.spec[0],
+                                              *([None] * (r.ndim - 1))))
+            for r in results
+        )
+        return out[0] if n_out == 1 else out
+
+    # every non-leading factor needs replication (S blocks see the whole
+    # kv stream; D is the head dim).  Shardy requires the special-factor
+    # list in rule-appearance (index) order, not alphabetical.
+    factors = []
+    for tok in rule.replace(",", " ").replace("->", " ").split():
+        if tok != "m" and tok not in factors:
+            factors.append(tok)
+    wrapped.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        need_replication_factors=tuple(factors),
+    )
+    return wrapped
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale, sq, skv, causal, interpret, block_q, block_kv,
+                     g):
+    def impl_factory():
+        def impl(qm, km, vm):
+            return _flash_fwd_padded_impl(
+                qm, km, vm, scale=scale, sq=sq, skv=skv, causal=causal,
+                interpret=interpret, block_q=block_q, block_kv=block_kv,
+                g=g,
+            )
+
+        return impl
+
+    return _shard_dim0_partitioning(
+        impl_factory, "m s d, m t d, m t d -> m s d, m s z",
+        n_in=3, n_out=2,
+    )
+
+
 def _flash_fwd_padded(qm, km, vm, *, scale, sq, skv, causal, interpret,
                       block_q, block_kv, g=None):
+    return _partitioned_fwd(
+        scale, sq, skv, causal, interpret, block_q, block_kv, g
+    )(qm, km, vm)
+
+
+def _flash_fwd_padded_impl(qm, km, vm, *, scale, sq, skv, causal, interpret,
+                           block_q, block_kv, g=None):
     bh, sq_pad, d = qm.shape
     skv_pad = km.shape[1]
     if g is not None and (g <= 0 or bh % g):
@@ -427,22 +527,75 @@ def _flash_fwd_rule(q, k, v, causal, interpret, block_q, block_kv, g):
     return out, (qm, km, vm, om, lse, (b, sq, h, d, skv))
 
 
-def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
-    qm, km, vm, om, lse, (b, sq, h, d, skv) = res
-    scale = d ** -0.5
-    sq_pad, skv_pad = qm.shape[1], km.shape[1]
-    dom = _merge_pad(grad, b, h, d, sq_pad)
-    delta = jnp.sum(
-        dom.astype(jnp.float32) * om.astype(jnp.float32), axis=-1, keepdims=True
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd_dq(scale, skv, causal, interpret, block_q, block_kv,
+                        g):
+    def impl_factory():
+        def impl(qm, km, vm, dom, lse, delta):
+            return _bwd_dq_impl(
+                qm, km, vm, dom, lse, delta, scale=scale, skv=skv,
+                causal=causal, interpret=interpret, block_q=block_q,
+                block_kv=block_kv, g=g,
+            )
+
+        return impl
+
+    return _shard_dim0_partitioning(
+        impl_factory,
+        "m s d, m t d, m t d, m s d, m s y, m s z -> m s d",
+        n_in=6, n_out=1,
     )
 
-    bh = qm.shape[0]
-    # g was already validated in _flash_fwd_padded (the custom-VJP forward
-    # always runs first with the same bh)
-    g = g or _heads_per_cell(bh, max(skv_pad, sq_pad), d, block_q, block_kv)
-    kw = dict(scale=scale, kv_len=skv, causal=causal)
 
-    dqm = pl.pallas_call(
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd_dkv(scale, skv, causal, interpret, block_q, block_kv,
+                         g):
+    def impl_factory():
+        def impl(qm, km, vm, dom, lse, delta):
+            return _bwd_dkv_impl(
+                qm, km, vm, dom, lse, delta, scale=scale, skv=skv,
+                causal=causal, interpret=interpret, block_q=block_q,
+                block_kv=block_kv, g=g,
+            )
+
+        return impl
+
+    return _shard_dim0_partitioning(
+        impl_factory,
+        "m s d, m t d, m t d, m s d, m s y, m s z -> m t d, m t d",
+        n_in=6, n_out=2,
+    )
+
+
+# The backward kernels carry three extra operand streams (do, lse, delta)
+# on top of the forward's fitted per-head budget: at bs4/S=1024/h4 (bq 512,
+# bkv 256) the dq kernel's scoped stack measured 16.36M where the forward
+# fit predicts 15.73M — a real-chip OOM by 372K at the forward's g=4 pick
+# (round 4; pre-existing at any bh=16 S=1024 grad shape).  Picking against
+# a 14 MiB budget drops that shape to g=2 (8.2M, compiles; 15 MiB is
+# exactly 4x the fitted per-head cost, so it would still pick g=4) and
+# leaves every
+# measured-green backward choice (e.g. S=2048 bs8, g=2) unchanged.
+_BWD_VMEM_BUDGET = 14 << 20
+
+
+def _bwd_g(qm, km, g, block_q, block_kv, d):
+    bh = qm.shape[0]
+    sq_pad, skv_pad = qm.shape[1], km.shape[1]
+    # g was already validated in the forward (the custom-VJP forward always
+    # runs first with the same bh)
+    return g or _heads_per_cell(bh, max(skv_pad, sq_pad), d, block_q,
+                                block_kv, budget=_BWD_VMEM_BUDGET)
+
+
+def _bwd_dq_impl(qm, km, vm, dom, lse, delta, *, scale, skv, causal,
+                 interpret, block_q, block_kv, g):
+    bh = qm.shape[0]
+    sq_pad, skv_pad = qm.shape[1], km.shape[1]
+    d = qm.shape[2]
+    g = _bwd_g(qm, km, g, block_q, block_kv, d)
+    kw = dict(scale=scale, kv_len=skv, causal=causal)
+    return pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_kv=block_kv, **kw),
         grid=(bh // g, sq_pad // block_q),
         in_specs=[
@@ -458,7 +611,15 @@ def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
         interpret=interpret,
     )(qm, km, vm, dom, lse, delta)
 
-    dkm, dvm = pl.pallas_call(
+
+def _bwd_dkv_impl(qm, km, vm, dom, lse, delta, *, scale, skv, causal,
+                  interpret, block_q, block_kv, g):
+    bh = qm.shape[0]
+    sq_pad, skv_pad = qm.shape[1], km.shape[1]
+    d = qm.shape[2]
+    g = _bwd_g(qm, km, g, block_q, block_kv, d)
+    kw = dict(scale=scale, kv_len=skv, causal=causal)
+    return pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, **kw),
         grid=(bh // g, skv_pad // block_kv),
         in_specs=[
@@ -478,6 +639,23 @@ def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
             jax.ShapeDtypeStruct((bh, skv_pad, d), vm.dtype),
         ],
         interpret=interpret,
+    )(qm, km, vm, dom, lse, delta)
+
+
+def _flash_bwd_rule(causal, interpret, block_q, block_kv, g, res, grad):
+    qm, km, vm, om, lse, (b, sq, h, d, skv) = res
+    scale = d ** -0.5
+    sq_pad = qm.shape[1]
+    dom = _merge_pad(grad, b, h, d, sq_pad)
+    delta = jnp.sum(
+        dom.astype(jnp.float32) * om.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    dqm = _partitioned_bwd_dq(
+        scale, skv, causal, interpret, block_q, block_kv, g
+    )(qm, km, vm, dom, lse, delta)
+    dkm, dvm = _partitioned_bwd_dkv(
+        scale, skv, causal, interpret, block_q, block_kv, g
     )(qm, km, vm, dom, lse, delta)
 
     def unmerge(xm, s):

@@ -302,3 +302,42 @@ def test_flash_rejects_additive_mask_loudly():
     with pytest.raises(ValueError, match="XLA path"):
         flash_attention(q, q, q, mask=np.zeros((8, 8), np.float32),
                         interpret=True)
+
+
+def test_flash_dp_sharded_no_allgather(rng):
+    """flash_attention inside a multi-device jit: the custom_partitioning
+    rule shards the merged batch*head axis, so a dp-sharded batch runs
+    shard-locally (no all-gather) — forward AND both backward kernels."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+    sh = NamedSharding(mesh, P("dp", None, None, None))
+    q = jnp.asarray(rng.standard_normal((8, 64, 4, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((8, 80, 4, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((8, 80, 4, 64)).astype(np.float32))
+
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v),
+                in_shardings=(sh,) * 3, out_shardings=sh)
+    txt = f.lower(q, k, v).compile().as_text()
+    assert "all-gather" not in txt
+    out = f(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), _naive(np.asarray(q), np.asarray(k), np.asarray(v)),
+        atol=2e-5,
+    )
+
+    def loss(q, k, v):
+        return (flash_attention(q, k, v, causal=True) ** 2).sum()
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                in_shardings=(sh,) * 3)
+    gtxt = g.lower(q, k, v).compile().as_text()
+    assert "all-gather" not in gtxt
+    got = g(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: (_xla_attention(q, k, v, causal=True) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
