@@ -1,0 +1,161 @@
+"""Ring attention: sequence-parallel attention over a mesh axis.
+
+The reference has no distributed construct at all (SURVEY.md §2.9 —
+single-GPU CUDA everywhere); this module is the TPU-native capability its
+long-context story needs at pod scale.  The flash kernel
+(:mod:`debiasing_multi_modal_tpu.ops.flash_attention`) owns the
+prohibitive-score regime on ONE chip, and its SPMD rule shards batch*heads
+— but the sequence axis must be replicated there, so a context too long
+for one chip's HBM has no home.  Ring attention shards the SEQUENCE axis
+across the mesh: each device holds one q/k/v chunk, computes blockwise
+attention of its q chunk against the kv chunk it currently holds, and the
+kv chunks rotate around the ring via ``ppermute`` (ICI neighbor traffic,
+no all-gather) while an online-softmax accumulator merges partials —
+exactly the flash recurrence, distributed.
+
+Layout contract matches flash_attention: q/k/v ``[B, S, H, D]`` with S
+sharded over the given mesh axis.  Use :func:`ring_attention` inside
+``shard_map`` (it operates on the local chunks and needs the axis name),
+or :func:`sequence_parallel_attention` for the jit-level wrapper that sets
+up the shard_map over a mesh.
+
+Causality is computed from GLOBAL positions (chunk index * chunk length +
+local offset), so the causal variant is exact, not per-chunk approximate.
+Fully differentiable: the recurrence is lax.scan + ppermute, both of which
+JAX transposes (ppermute's VJP is the inverted ring), so jax.grad works
+without a custom VJP; gradients are parity-tested against the XLA
+formulation on an 8-device CPU mesh (tests/test_ring_attention.py).
+
+Reference parity surface: none (capability absent in /root/reference —
+deliberate TPU-native extension, PARITY.md §5.7/§5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+_NEG_INF = float(-1e30)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    *,
+    causal: bool = False,
+) -> jax.Array:
+    """Local-chunk ring attention; call inside ``shard_map``.
+
+    Args:
+      q, k, v: LOCAL sequence chunks ``[B, S_local, H, D]`` (the global
+        sequence is ``axis_size * S_local``, contiguously chunked in ring
+        order).
+      axis_name: the mesh axis the sequence is sharded over.
+      causal: exact global causal masking.
+
+    Returns:
+      The local output chunk ``[B, S_local, H, D]`` in q.dtype.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    b, sl, h, d = q.shape
+    scale = d ** -0.5
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    q32 = q.astype(jnp.float32) * scale
+    if causal:
+        q_pos = idx * sl + jax.lax.iota(jnp.int32, sl)
+
+    def partial_attn(kc, vc, src):
+        # logits of the local q chunk against one kv chunk, f32
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q32, kc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        if causal:
+            kv_pos = src * sl + jax.lax.iota(jnp.int32, sl)
+            mask = kv_pos[None, :] <= q_pos[:, None]  # [sq, skv]
+            logits = jnp.where(mask[None, None], logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1)  # [b, h, sq]
+        e = jnp.exp(logits - m[..., None])
+        l = jnp.sum(e, axis=-1)  # [b, h, sq]
+        pv = jnp.einsum(
+            "bhqk,bkhd->bqhd", e.astype(vc.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        return pv, m, l
+
+    def step(carry, i):
+        acc, m, l, kc, vc = carry
+        src = (idx - i) % n  # global chunk id the rotating kv currently is
+        pv, m_i, l_i = partial_attn(kc, vc, src)
+        # online softmax merge (the flash recurrence across ring steps);
+        # m/l are [b, h, sq] — move to [b, sq, h, 1] to scale pv
+        m_new = jnp.maximum(m, m_i)
+        a_old = jnp.exp(m - m_new)
+        a_new = jnp.exp(m_i - m_new)
+        def bc(x):  # [b, h, sq] -> [b, sq, h, 1]
+            return x.transpose(0, 2, 1)[..., None]
+        acc = acc * bc(a_old) + pv * bc(a_new)
+        l = l * a_old + l_i * a_new
+        # rotate the kv chunks one hop around the ring (neighbor ICI)
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        return (acc, m_new, l, kc, vc), None
+
+    # zero inits must be marked device-varying over the ring axis or the
+    # scan carry types mismatch (shard_map's varying-manual-axes check)
+    def _vary(x):
+        return jax.lax.pcast(x, axis_name, to="varying")
+
+    acc0 = _vary(jnp.zeros((b, sl, h, d), jnp.float32))
+    m0 = _vary(jnp.full((b, h, sl), _NEG_INF, jnp.float32))
+    l0 = _vary(jnp.zeros((b, h, sl), jnp.float32))
+    (acc, m, l, _, _), _ = jax.lax.scan(
+        step, (acc0, m0, l0, k, v), jnp.arange(n)
+    )
+    l = jnp.maximum(l, 1e-30)  # fully-masked rows (never in valid causal use)
+    out = acc / l.transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis_name", "causal", "mesh")
+)
+def sequence_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    axis_name: str,
+    causal: bool = False,
+) -> jax.Array:
+    """jit-level wrapper: shard q/k/v's sequence axis over ``axis_name``
+    and run the ring.  The global S must divide the axis size.  Batch and
+    head axes stay as the caller shards them (this spec pins only S)."""
+    if q.ndim != 4 or q.shape != k.shape or k.shape != v.shape:
+        raise ValueError(
+            f"sequence_parallel_attention is self-attention over [B,S,H,D]; "
+            f"got q{q.shape} k{k.shape} v{v.shape}"
+        )
+    n = mesh.shape[axis_name]
+    if q.shape[1] % n:
+        raise ValueError(
+            f"global sequence {q.shape[1]} must divide the '{axis_name}' "
+            f"axis size {n}"
+        )
+    spec = PartitionSpec(None, axis_name, None, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, axis_name=axis_name, causal=causal),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
