@@ -20,13 +20,15 @@ This kernel removes both costs at once by changing the layout contract:
   heads as static lane slices, so scores live and die in VMEM in f32 —
   nothing but the [gB, S, D] output ever returns to HBM.
 
-Scope: self-attention (Sq == Skv == S), S small enough that one image's
-whole-sequence cell fits VMEM (the ``supported()`` gate checks the byte
-model against the measured ``CELL_VMEM_LIMIT``).  That covers every tower
-the framework ships — text (S=77), ViT-B (S=50/197), ViT-L (S=257), and
-ViT-L@336px (S=577, measured +42%); the ViT-L@448px probe (S=1025, 20 MiB
-cells) is rejected and stays on the flash/XLA policy.  The reference
-realizes these attentions via torch ``nn.MultiheadAttention``
+Scope: self-attention (Sq == Skv == S) up to MAX_SEQ_LEN, in two modes by
+VMEM cell size (the ``supported()`` gate checks the byte models against
+the measured limits): whole-row when a full sequence's cell fits, else
+q-tiled — grid (batch, q_tiles) with the FULL k/v slab still resident per
+cell, so the softmax stays exact whole-row (no online accumulation) and
+causality is global via the tile id.  Measured full-model wins at every
+point: text S=77 (+30%), ViT-B S=50/197 (+32%/+31%), ViT-L S=257/577
+(+37%/+42%), and the q-tiled ViT-L@448px probe S=1025 (+34%).  The
+reference realizes these attentions via torch ``nn.MultiheadAttention``
 (/root/reference/clip/model.py:58-91, 171-192); parity is pinned against the
 XLA formulation in tests/test_short_attention.py.
 
@@ -48,10 +50,10 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec
 
 _NEG_INF = float(-1e30)
-# Whole-sequence scores must fit VMEM.  The effective gate is the measured
-# per-image cell limit below; this policy bound just keeps wildly long
-# sequences on the flash/XLA path without doing the byte math.
-MAX_SEQ_LEN = 1024
+# The effective gate is the measured per-image cell limit below (whole-row
+# or q-tiled); this policy bound keeps sequences far past the measured
+# range (S=50..1025, every point a full-model win) on the flash/XLA path.
+MAX_SEQ_LEN = 1536
 # A single image's cell (q/k/v/o slabs + one head's f32 scores) must fit
 # Mosaic's ~16 MiB scoped VMEM with margin.  Measured boundary (round 4):
 # S=577 D=1024 (8.2 MiB) compiles and wins 1.42x; S=1025 D=1024 (20.4 MiB)
@@ -90,9 +92,40 @@ def pick_block_b(b: int, s: int, d: int, heads: int, itemsize: int = 2) -> int:
     return gb
 
 
+def _tiled_cell_bytes(s: int, bq: int, d: int, itemsize: int) -> int:
+    """Per-image cell footprint in q-tiled mode: full k/v resident, one
+    [bq, d] q/o tile, one head's [bq, s] f32 scores."""
+    sub = 16 if itemsize == 2 else 8
+    d_r = _round_up(d, 128)
+    kv = 2 * _round_up(s, sub) * d_r * itemsize
+    qo = 2 * _round_up(bq, sub) * d_r * itemsize
+    s_l = _round_up(s, 128)
+    scores = 2 * _round_up(bq, 8) * s_l * 4 + _round_up(bq, sub) * s_l * itemsize
+    return kv + qo + scores
+
+
+# The tiled mode's measured compile-to-model stack ratio is ~1.32x (a
+# bq=512 S=1025 D=1024 cell modelled at 12.26M compiled to a 16.18M stack
+# and OOMed the 16M scoped limit inside the full ViT-L@448 encode), so its
+# pick uses a tighter limit than the whole-row mode's: 10 MiB * 1.32 stays
+# under 14M with margin.
+TILED_CELL_LIMIT = 10 << 20
+
+
+def pick_block_q(s: int, d: int, itemsize: int = 2) -> Optional[int]:
+    """Largest q tile (512/256/128) whose tiled cell fits the VMEM limit,
+    or None when even bq=128 does not fit (hand the shape to flash/XLA)."""
+    for bq in (512, 256, 128):
+        if _tiled_cell_bytes(s, bq, d, itemsize) <= TILED_CELL_LIMIT:
+            return bq
+    return None
+
+
 def supported(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
               *, mask: Optional[jax.Array] = None) -> bool:
-    """Gate for the short-S regime: merged-head self-attention, small S."""
+    """Gate: merged-head self-attention whose VMEM cell fits — whole-row
+    for short S, q-tiled (full kv resident, exact whole-row softmax) for
+    longer S up to MAX_SEQ_LEN."""
     if mask is not None:
         return False
     if q.ndim != 3 or q.shape != k.shape or k.shape != v.shape:
@@ -102,7 +135,9 @@ def supported(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
         return False
     if d % num_heads or d % 128:
         return False
-    return _cell_bytes(s, d, num_heads, q.dtype.itemsize) <= CELL_VMEM_LIMIT
+    if _cell_bytes(s, d, num_heads, q.dtype.itemsize) <= CELL_VMEM_LIMIT:
+        return True
+    return pick_block_q(s, d, q.dtype.itemsize) is not None
 
 
 def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
@@ -140,6 +175,42 @@ def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
         o_ref[:, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
 
 
+def _qtiled_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
+                   causal: bool, block_q: int):
+    """q-tiled variant: grid (batch, q_tiles); the full k/v slab is
+    resident per cell so the softmax is still exact whole-row (no online
+    accumulation).  Causality uses GLOBAL q positions from the tile id."""
+    q = q_ref[...]   # [gb, bq, d]
+    k = k_ref[...]   # [gb, S, d]
+    v = v_ref[...]
+    s, d = k.shape[1], k.shape[2]
+    bq = q.shape[1]
+    hd = d // heads
+    if causal:
+        q0 = pl.program_id(1) * block_q
+        row = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+        causal_add = jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
+    for h in range(heads):
+        qh = jax.lax.slice_in_dim(q, h * hd, (h + 1) * hd, axis=2)
+        kh = jax.lax.slice_in_dim(k, h * hd, (h + 1) * hd, axis=2)
+        vh = jax.lax.slice_in_dim(v, h * hd, (h + 1) * hd, axis=2)
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [gb, bq, S]
+        if causal:
+            logits = logits + causal_add[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            w.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+
+
 def _xla_merged(q, k, v, num_heads, causal):
     """Plain merged-head XLA attention — the VJP recomputation target and
     the numerics oracle for the kernel tests (mirrors ops/attention.py's
@@ -168,24 +239,59 @@ def _xla_merged(q, k, v, num_heads, causal):
 def _pallas_forward(q, k, v, num_heads, causal, interpret, block_b, scale):
     """The raw pallas_call on (possibly per-shard) shapes.  ``scale`` is
     passed explicitly because under head (D-axis) sharding the local head
-    count changes but the softmax scale must stay the GLOBAL head_dim's."""
+    count changes but the softmax scale must stay the GLOBAL head_dim's.
+
+    Two modes by VMEM cell size: whole-row (the measured S=50..577 winner)
+    when a full sequence's cell fits, else q-tiled with the full k/v slab
+    still resident (exact softmax, global causality from the tile id)."""
     b, s, d = q.shape
-    gb = block_b or pick_block_b(b, s, d, num_heads, q.dtype.itemsize)
+    itemsize = q.dtype.itemsize
+    if _cell_bytes(s, d, num_heads, itemsize) <= CELL_VMEM_LIMIT:
+        gb = block_b or pick_block_b(b, s, d, num_heads, itemsize)
+        b_pad = _round_up(b, gb)
+        if b_pad != b:
+            q, k, v = (jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+                       for x in (q, k, v))
+        out = pl.pallas_call(
+            functools.partial(
+                _short_attn_kernel, heads=num_heads, scale=scale,
+                causal=causal,
+            ),
+            grid=(b_pad // gb,),
+            in_specs=[pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b_pad, s, d), q.dtype),
+            interpret=interpret,
+        )(q, k, v)
+        return out[:b] if b_pad != b else out
+
+    bq = pick_block_q(s, d, itemsize)
+    if bq is None:
+        raise ValueError(
+            f"short_attention cell does not fit VMEM at S={s} D={d} "
+            f"(gate supported() should have rejected this shape)"
+        )
+    gb = block_b or 1
     b_pad = _round_up(b, gb)
-    if b_pad != b:
-        q, k, v = (jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
-                   for x in (q, k, v))
+    sq_pad = _round_up(s, bq)
+    qp = jnp.pad(q, ((0, b_pad - b), (0, sq_pad - s), (0, 0)))
+    kp, vp = (jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0))) for x in (k, v))
     out = pl.pallas_call(
         functools.partial(
-            _short_attn_kernel, heads=num_heads, scale=scale, causal=causal,
+            _qtiled_kernel, heads=num_heads, scale=scale, causal=causal,
+            block_q=bq,
         ),
-        grid=(b_pad // gb,),
-        in_specs=[pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, s, d), q.dtype),
+        grid=(b_pad // gb, sq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, s, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((gb, bq, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, sq_pad, d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
-    return out[:b] if b_pad != b else out
+    )(qp, kp, vp)
+    return out[:b, :s]
 
 
 @functools.lru_cache(maxsize=None)

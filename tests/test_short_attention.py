@@ -118,10 +118,13 @@ def test_supported_gate():
                       (577, 1024, 16)]:
         qs, ks, vs = _qkv(1, s, d, dtype=np.float16)  # itemsize 2, like bf16
         assert supported(qs, ks, vs, h), (s, d)
-    # the ViT-L@448px probe (S=1025, ~20 MiB cells) measured a Mosaic VMEM
-    # OOM — the cell-byte gate must reject it
+    # the ViT-L@448px probe (S=1025, ~20 MiB whole-row cells) exceeds the
+    # whole-row gate but qualifies via q tiling (measured +34% full-model)
     qb, kb, vb = _qkv(1, 1025, 1024, dtype=np.float16)
-    assert not supported(qb, kb, vb, 16)
+    from debiasing_multi_modal_tpu.ops.short_attention import _cell_bytes
+
+    assert _cell_bytes(1025, 1024, 16, 2) > 12 << 20
+    assert supported(qb, kb, vb, 16)
     # S past the policy bound
     ql, kl, vl = _qkv(1, MAX_SEQ_LEN + 64, 768)
     assert not supported(ql, kl, vl, 12)
@@ -220,6 +223,71 @@ class TestMeshPartitioning:
         for a, b in zip(g, r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-4)
+
+
+class TestQTiledMode:
+    """Past the whole-row VMEM cell, _pallas_forward switches to q tiling
+    (full kv resident, exact whole-row softmax, global causality from the
+    tile id).  Forced here via the MAX_SEQ_LEN module attr; the auto gate
+    stays wherever the measured policy put it."""
+
+    def _long_qkv(self, b=1, s=1025, d=256, seed=11):
+        return _qkv(b, s, d, seed=seed)
+
+    def _with_gate(self, monkeypatch):
+        from debiasing_multi_modal_tpu.ops import short_attention as sa
+
+        monkeypatch.setattr(sa, "MAX_SEQ_LEN", 4096)
+        return sa
+
+    def test_picks_tiled_mode(self, monkeypatch):
+        sa = self._with_gate(monkeypatch)
+        q, k, v = self._long_qkv()
+        # whole-row cell exceeds the limit -> supported only via tiling
+        from debiasing_multi_modal_tpu.ops.short_attention import (
+            _cell_bytes,
+            pick_block_q,
+        )
+
+        assert _cell_bytes(1025, 256, 4, 4) > sa.CELL_VMEM_LIMIT
+        assert pick_block_q(1025, 256, 4) is not None
+        assert sa.supported(q, k, v, 4)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_tiled_matches_xla(self, monkeypatch, causal):
+        self._with_gate(monkeypatch)
+        q, k, v = self._long_qkv()
+        out = short_attention(q, k, v, 4, causal=causal)
+        ref = _xla_merged(q, k, v, 4, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_tiled_ragged_seq_padding(self, monkeypatch):
+        """S=1025 does not divide any q tile — padded rows must not leak
+        (exercises the slice-back) and causality must hold at the ragged
+        boundary."""
+        self._with_gate(monkeypatch)
+        q, k, v = self._long_qkv(s=1111, seed=12)
+        out = short_attention(q, k, v, 4, causal=True)
+        ref = _xla_merged(q, k, v, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_tiled_grads(self, monkeypatch):
+        self._with_gate(monkeypatch)
+        q, k, v = self._long_qkv(s=1025, seed=13)
+
+        g = jax.grad(
+            lambda q, k, v: (short_attention(q, k, v, 4, causal=True) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        r = jax.grad(
+            lambda q, k, v: (_xla_merged(q, k, v, 4, True) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
 
 
 def test_pick_block_b_respects_budget():
