@@ -301,3 +301,22 @@ def test_pick_block_b_respects_budget():
         gb = pick_block_b(b, s, d, h)
         assert gb >= 1 and (gb & (gb - 1)) == 0
         assert gb * _cell_bytes(s, d, h, 2) <= VMEM_BUDGET_BYTES or gb == 1
+
+
+def test_qtiled_under_dp_mesh(monkeypatch):
+    """The q-tiled mode must partition like the whole-row mode (same
+    custom_partitioning wrapper around _pallas_forward)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from debiasing_multi_modal_tpu.ops import short_attention as sa
+
+    monkeypatch.setattr(sa, "MAX_SEQ_LEN", 4096)
+    mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+    sh = NamedSharding(mesh, P("dp", None, None))
+    q, k, v = _qkv(8, 1025, 256, seed=14)
+    f = jax.jit(lambda q, k, v: short_attention(q, k, v, 4, causal=True),
+                in_shardings=(sh,) * 3, out_shardings=sh)
+    txt = f.lower(q, k, v).compile().as_text()
+    assert "all-gather" not in txt
+    out = f(q, k, v)
+    ref = _xla_merged(q, k, v, 4, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
