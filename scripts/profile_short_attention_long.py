@@ -34,7 +34,7 @@ PEAK_TF = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 GF = {"ViT-L/14": 162.0, "ViT-L/14@336px": 383.0}
 
 enable_persistent_cache()
-sa.MAX_SEQ_LEN = 1024  # probe override: let supported() pass the gate
+sa.MAX_SEQ_LEN = max(sa.MAX_SEQ_LEN, 1024)  # probe ran pre-gate-raise
 
 
 def stage_params(model):
