@@ -8,6 +8,7 @@ visual encode (§5's iron rule) for the ViT-L family:
 - ViT-L/14        S=257, D=1024, 16 heads (~3.3 MB/img cell -> gb=1)
 - ViT-L/14@336px  S=577, D=1024, 16 heads (~8.6 MB/img cell -> gb=1,
   close to the Mosaic scoped-VMEM limit; an OOM here is itself the datum)
+- ViT-L/14@448px  S=1025 (whole-row cell ~20 MB -> q-tiled mode, bq=256)
 
     python scripts/profile_short_attention_long.py [BATCH=256]
 """
@@ -37,9 +38,9 @@ enable_persistent_cache()
 sa.MAX_SEQ_LEN = max(sa.MAX_SEQ_LEN, 1024)  # probe ran pre-gate-raise
 
 
-def stage_params(model):
+def stage_params(model, res=None):
     cpu = jax.devices("cpu")[0]
-    res = model.config.image_resolution
+    res = res or model.config.image_resolution
     with jax.default_device(cpu):
         host_vars = jax.jit(model.init, backend="cpu")(
             jax.random.PRNGKey(0),
@@ -51,15 +52,24 @@ def stage_params(model):
 
 
 def main():
+    from debiasing_multi_modal_tpu.models.clip import get_config
+
     print(f"backend: {jax.default_backend()}  batch: {BATCH}")
-    for name in ("ViT-L/14", "ViT-L/14@336px"):
-        bs = BATCH if name == "ViT-L/14" else max(32, BATCH // 4)
+    GF["ViT-L/14@448px"] = 708.0  # 383 GF * (1025/577) token scaling, approx
+    cases = [
+        ("ViT-L/14", BATCH, None),
+        ("ViT-L/14@336px", max(32, BATCH // 4), None),
+        ("ViT-L/14@448px", max(16, BATCH // 8), 448),
+    ]
+    for name, bs, res_override in cases:
+        cfg_name = "ViT-L/14@336px" if res_override else name
         variables = None
         for impl in ("xla", "short"):
-            model = create_clip(name, dtype=jnp.bfloat16, attn_impl=impl)
+            cfg = get_config(cfg_name, dtype=jnp.bfloat16)
+            model = create_clip(cfg, attn_impl=impl)
             if variables is None:
-                variables = stage_params(model)
-            res = model.config.image_resolution
+                variables = stage_params(model, res_override)
+            res = res_override or model.config.image_resolution
             images = jax.random.normal(
                 jax.random.PRNGKey(2), (bs, res, res, 3), jnp.bfloat16
             )
