@@ -55,6 +55,39 @@ def main() -> None:
     got = float(global_sum(g))
     assert abs(got - float(expected.sum())) < 1e-3, (got, expected.sum())
 
+    # ---- ring attention across the process boundary: the sequence axis
+    # sharded over the global mesh, kv chunks ppermute'd between processes
+    from debiasing_multi_modal_tpu.ops.ring_attention import (
+        sequence_parallel_attention,
+    )
+
+    ndev = len(jax.devices())
+    rng = np.random.default_rng(7)  # identical stream on every process
+    qn, kn, vn = (rng.standard_normal((2, 16 * ndev, 2, 8)).astype(np.float32)
+                  for _ in range(3))
+    spec = P(None, "data", None, None)
+    sh = NamedSharding(mesh, spec)
+    qa, ka, va = (
+        jax.make_array_from_callback(x.shape, sh, lambda idx, x=x: x[idx])
+        for x in (qn, kn, vn)
+    )
+    out = sequence_parallel_attention(
+        qa, ka, va, mesh=mesh, axis_name="data", causal=True
+    )
+    full_out = np.asarray(replicate(out))
+
+    # numpy oracle (same math as ops/attention._xla_attention)
+    scale = qn.shape[-1] ** -0.5
+    logits = np.einsum("bqhd,bkhd->bhqk", qn, kn) * scale
+    s = qn.shape[1]
+    tri = np.tril(np.ones((s, s), bool))
+    logits = np.where(tri, logits, -np.inf)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", w, vn)
+    np.testing.assert_allclose(full_out, ref, atol=2e-5)
+
+    print(f"RING OK {pid}")
     print(f"OK {pid} sum={got}")
 
 

@@ -50,6 +50,8 @@ def test_two_process_global_batch_and_psum(local_devices):
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {pid} failed:\n{err[-2000:]}"
         assert f"OK {pid}" in out, out
+        # ring attention crossed the process boundary and matched the oracle
+        assert f"RING OK {pid}" in out, out
     # both replicas computed the same global sum
     sums = {o.split("sum=")[1].strip() for _, o, _ in outs}
     assert len(sums) == 1
