@@ -320,3 +320,37 @@ def test_qtiled_under_dp_mesh(monkeypatch):
     out = f(q, k, v)
     ref = _xla_merged(q, k, v, 4, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_auto_routes_to_short_on_tpu(monkeypatch):
+    """The production policy: on TPU, auto prefers the merged-layout
+    kernel whenever supported().  CPU-side guard via a recording stub
+    (the real on-chip routing is measured in DESIGN §8.8)."""
+    from debiasing_multi_modal_tpu.ops import attention as att
+    from debiasing_multi_modal_tpu.ops import short_attention as sa
+
+    monkeypatch.setattr(att, "_on_tpu", lambda: True)
+    calls = []
+
+    def fake_short(q, k, v, h, causal=False, **kw):
+        calls.append((q.shape, h, causal))
+        return jnp.zeros_like(q)
+
+    monkeypatch.setattr(sa, "short_attention", fake_short)
+    q, k, v = _qkv(2, 50, 768, seed=20)
+    att.multi_head_attention(q, k, v, 12, impl="auto", causal=True)
+    assert calls == [((2, 50, 768), 12, True)]
+
+    # an additive mask must stay on the XLA path (no routing, no error)
+    m = jnp.zeros((50, 50), jnp.float32)
+    att.multi_head_attention(q, k, v, 12, mask=m, impl="auto")
+    assert len(calls) == 1
+
+    # forcing impl="short" with a mask is a loud error
+    with pytest.raises(ValueError):
+        att.multi_head_attention(q, k, v, 12, mask=m, impl="short")
+
+    # out-of-regime S falls through (no routing)
+    ql, kl, vl = _qkv(1, 2048, 768, seed=21)
+    att.multi_head_attention(ql, kl, vl, 12, impl="auto")
+    assert len(calls) == 1
