@@ -109,14 +109,14 @@ def ring_attention(
         vc = jax.lax.ppermute(vc, axis_name, perm)
         return (acc, m_new, l, kc, vc), None
 
-    # zero inits must be marked device-varying over the ring axis or the
-    # scan carry types mismatch (shard_map's varying-manual-axes check)
-    def _vary(x):
-        return jax.lax.pcast(x, axis_name, to="varying")
-
-    acc0 = _vary(jnp.zeros((b, sl, h, d), jnp.float32))
-    m0 = _vary(jnp.full((b, h, sl), _NEG_INF, jnp.float32))
-    l0 = _vary(jnp.zeros((b, h, sl), jnp.float32))
+    # zero inits are derived FROM q so they inherit its full device-varying
+    # axis set (shard_map's varying-manual-axes check rejects unvarying
+    # carries, and pcast over axis_name alone breaks on dp x sp meshes
+    # where q also varies over the batch axis); the 0*q terms fuse away
+    zero_bhs = jnp.transpose(q[..., 0] * 0, (0, 2, 1)).astype(jnp.float32)
+    acc0 = jnp.zeros((b, sl, h, d), jnp.float32) + 0.0 * q.astype(jnp.float32)
+    m0 = zero_bhs + _NEG_INF
+    l0 = zero_bhs
     (acc, m, l, _, _), _ = jax.lax.scan(
         step, (acc0, m0, l0, k, v), jnp.arange(n)
     )
@@ -126,7 +126,7 @@ def ring_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis_name", "causal", "mesh")
+    jax.jit, static_argnames=("axis_name", "causal", "mesh", "batch_axis")
 )
 def sequence_parallel_attention(
     q: jax.Array,
@@ -136,10 +136,12 @@ def sequence_parallel_attention(
     mesh: Mesh,
     axis_name: str,
     causal: bool = False,
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """jit-level wrapper: shard q/k/v's sequence axis over ``axis_name``
-    and run the ring.  The global S must divide the axis size.  Batch and
-    head axes stay as the caller shards them (this spec pins only S)."""
+    and run the ring.  The global S must divide the axis size.  Pass
+    ``batch_axis`` to also shard the batch dim (dp x sp meshes — the ring
+    runs independently within each dp slice); head/D stay replicated."""
     if q.ndim != 4 or q.shape != k.shape or k.shape != v.shape:
         raise ValueError(
             f"sequence_parallel_attention is self-attention over [B,S,H,D]; "
@@ -151,7 +153,12 @@ def sequence_parallel_attention(
             f"global sequence {q.shape[1]} must divide the '{axis_name}' "
             f"axis size {n}"
         )
-    spec = PartitionSpec(None, axis_name, None, None)
+    if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {q.shape[0]} must divide the '{batch_axis}' axis size "
+            f"{mesh.shape[batch_axis]}"
+        )
+    spec = PartitionSpec(batch_axis, axis_name, None, None)
     fn = jax.shard_map(
         functools.partial(ring_attention, axis_name=axis_name, causal=causal),
         mesh=mesh,

@@ -98,3 +98,17 @@ def test_validation():
         sequence_parallel_attention(
             q[:, :, 0], k[:, :, 0], v[:, :, 0], mesh=mesh, axis_name="sp"
         )
+
+
+def test_dp_x_sp_mesh():
+    """Batch sharded over dp AND sequence over sp in one 2x4 mesh — the
+    pod layout: each dp slice runs its own 4-hop ring."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "sp"))
+    q, k, v = _qkv(4, 32, 2, 32, seed=5)
+    out = sequence_parallel_attention(
+        q, k, v, mesh=mesh, axis_name="sp", causal=True, batch_axis="dp"
+    )
+    ref = _xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
