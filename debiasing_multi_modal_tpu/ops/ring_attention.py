@@ -42,26 +42,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 _NEG_INF = float(-1e30)
 
 
-def ring_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    axis_name: str,
-    *,
-    causal: bool = False,
-) -> jax.Array:
-    """Local-chunk ring attention; call inside ``shard_map``.
+def _causal_add(sl, idx, src):
+    q_pos = idx * sl + jax.lax.iota(jnp.int32, sl)
+    kv_pos = src * sl + jax.lax.iota(jnp.int32, sl)
+    mask = kv_pos[None, :] <= q_pos[:, None]  # [sq, skv]
+    return jnp.where(mask[None, None], 0.0, _NEG_INF)
 
-    Args:
-      q, k, v: LOCAL sequence chunks ``[B, S_local, H, D]`` (the global
-        sequence is ``axis_size * S_local``, contiguously chunked in ring
-        order).
-      axis_name: the mesh axis the sequence is sharded over.
-      causal: exact global causal masking.
 
-    Returns:
-      The local output chunk ``[B, S_local, H, D]`` in q.dtype.
-    """
+def _ring_forward(q, k, v, axis_name, causal):
+    """Forward ring; returns (out, lse) with lse = m + log(l), [b, h, sl]."""
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, sl, h, d = q.shape
@@ -69,8 +58,6 @@ def ring_attention(
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     q32 = q.astype(jnp.float32) * scale
-    if causal:
-        q_pos = idx * sl + jax.lax.iota(jnp.int32, sl)
 
     def partial_attn(kc, vc, src):
         # logits of the local q chunk against one kv chunk, f32
@@ -79,9 +66,7 @@ def ring_attention(
             preferred_element_type=jnp.float32,
         )
         if causal:
-            kv_pos = src * sl + jax.lax.iota(jnp.int32, sl)
-            mask = kv_pos[None, :] <= q_pos[:, None]  # [sq, skv]
-            logits = jnp.where(mask[None, None], logits, _NEG_INF)
+            logits = logits + _causal_add(sl, idx, src)
         m = jnp.max(logits, axis=-1)  # [b, h, sq]
         e = jnp.exp(logits - m[..., None])
         l = jnp.sum(e, axis=-1)  # [b, h, sq]
@@ -122,7 +107,100 @@ def ring_attention(
     )
     l = jnp.maximum(l, 1e-30)  # fully-masked rows (never in valid causal use)
     out = acc / l.transpose(0, 2, 1)[..., None]
-    return out.astype(q.dtype)
+    return out.astype(q.dtype), m + jnp.log(l)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    causal: bool = False,
+) -> jax.Array:
+    """Local-chunk ring attention; call inside ``shard_map``.
+
+    Args:
+      q, k, v: LOCAL sequence chunks ``[B, S_local, H, D]`` (the global
+        sequence is ``axis_size * S_local``, contiguously chunked in ring
+        order).
+      axis_name: the mesh axis the sequence is sharded over.
+      causal: exact global causal masking.
+
+    Returns:
+      The local output chunk ``[B, S_local, H, D]`` in q.dtype.
+
+    Memory-true in BOTH passes: the custom VJP runs a second ring (the
+    standard ring-attention backward) whose residuals are the local q/k/v
+    chunks plus the [b, h, sl] logsumexp — NOT the rotated kv stream.
+    Plain jax.grad through the forward scan would checkpoint every step's
+    carry, i.e. materialize the FULL global k/v on every device and defeat
+    the point of sequence parallelism.
+    """
+    return _ring_forward(q, k, v, axis_name, causal)[0]
+
+
+def _ring_fwd(q, k, v, axis_name, causal):
+    out, lse = _ring_forward(q, k, v, axis_name, causal)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_bwd(axis_name, causal, res, dout):
+    q, k, v, out, lse = res
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    b, sl, h, d = q.shape
+    scale = d ** -0.5
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    q32 = q.astype(jnp.float32)
+    do32 = dout.astype(jnp.float32)
+    # delta_i = sum_d dout * out  (the softmax-normalization pullback term)
+    delta = jnp.einsum("bqhd,bqhd->bhq", do32, out.astype(jnp.float32))
+
+    def step(carry, i):
+        dq, kc, vc, dkc, dvc = carry
+        src = (idx - i) % n
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q32 * scale, kc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        if causal:
+            logits = logits + _causal_add(sl, idx, src)
+        # exact softmax row via the saved global logsumexp
+        p = jnp.exp(logits - lse[..., None])  # [b, h, sq, skv]
+        dvc = dvc + jnp.einsum(
+            "bhqk,bqhd->bkhd", p, do32, preferred_element_type=jnp.float32
+        )
+        dp = jnp.einsum(
+            "bqhd,bkhd->bhqk", do32, vc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum(
+            "bhqk,bkhd->bqhd", ds, kc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        dkc = dkc + jnp.einsum(
+            "bhqk,bqhd->bkhd", ds, q32, preferred_element_type=jnp.float32
+        )
+        # the gradient accumulators co-rotate with their kv chunks, so
+        # after n hops each lands back on its home device
+        kc, vc, dkc, dvc = (
+            jax.lax.ppermute(x, axis_name, perm) for x in (kc, vc, dkc, dvc)
+        )
+        return (dq, kc, vc, dkc, dvc), None
+
+    dq0 = 0.0 * q32
+    dk0 = 0.0 * k.astype(jnp.float32)
+    dv0 = 0.0 * v.astype(jnp.float32)
+    (dq, _, _, dk, dv), _ = jax.lax.scan(
+        step, (dq0, k, v, dk0, dv0), jnp.arange(n)
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_attention.defvjp(_ring_fwd, _ring_bwd)
 
 
 @functools.partial(
@@ -160,7 +238,8 @@ def sequence_parallel_attention(
         )
     spec = PartitionSpec(batch_axis, axis_name, None, None)
     fn = jax.shard_map(
-        functools.partial(ring_attention, axis_name=axis_name, causal=causal),
+        # custom_vjp functions take positional args only
+        lambda q, k, v: ring_attention(q, k, v, axis_name, causal),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
