@@ -21,10 +21,15 @@ up the shard_map over a mesh.
 
 Causality is computed from GLOBAL positions (chunk index * chunk length +
 local offset), so the causal variant is exact, not per-chunk approximate.
-Fully differentiable: the recurrence is lax.scan + ppermute, both of which
-JAX transposes (ppermute's VJP is the inverted ring), so jax.grad works
-without a custom VJP; gradients are parity-tested against the XLA
-formulation on an 8-device CPU mesh (tests/test_ring_attention.py).
+Differentiable via a custom VJP that runs a SECOND ring (the standard
+ring-attention backward): k/v/dk/dv co-rotate so every gradient
+accumulator lands back on its home device after n hops, and the exact
+per-chunk softmax is recovered from the saved logsumexp.  This is the
+memory-true choice — plain jax.grad through the forward scan would
+checkpoint each step's rotating carry, materializing the FULL global k/v
+on every device.  Gradients are parity-tested against the XLA formulation
+on an 8-device CPU mesh and across a real 2-process boundary
+(tests/test_ring_attention.py, tests/multihost_worker.py).
 
 Reference parity surface: none (capability absent in /root/reference —
 deliberate TPU-native extension, PARITY.md §5.7/§5.8).
