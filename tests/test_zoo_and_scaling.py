@@ -171,3 +171,60 @@ def test_config_sniff_rejects_non_square_grids():
     }
     with pytest.raises(ValueError, match="square"):
         config_from_state_dict(sd)
+
+
+def test_download_verify_and_corrupt_cache(tmp_path, monkeypatch):
+    """The download path's failure-detection ladder (§5.3; reference
+    clip.py:53-70 semantics), exercised with a mocked urlretrieve:
+    fresh fetch verifies; a corrupt cache entry re-downloads; a download
+    that still mismatches raises; a non-file cache path raises."""
+    import hashlib
+    import os
+
+    from debiasing_multi_modal_tpu.weights import zoo
+
+    name = "RN50"
+    url = zoo._MODELS[name]
+    good = b"checkpoint-bytes"
+    digest = hashlib.sha256(good).hexdigest()
+    monkeypatch.setitem(
+        zoo._MODELS, name, url.rsplit("/", 1)[0] + f"/{digest}/model.pt"
+    )
+    fetched = []
+
+    def fake_retrieve(url, target):
+        fetched.append(url)
+        with open(target, "wb") as f:
+            f.write(good)
+
+    monkeypatch.setattr(zoo.urllib.request, "urlretrieve", fake_retrieve)
+
+    # fresh download verifies and lands in the cache root
+    p = zoo.download(name, root=str(tmp_path))
+    assert os.path.isfile(p) and len(fetched) == 1
+
+    # a second call reuses the verified cache (no new fetch)
+    assert zoo.download(name, root=str(tmp_path)) == p
+    assert len(fetched) == 1
+
+    # corrupt the cache -> re-download and recover
+    with open(p, "wb") as f:
+        f.write(b"corrupted")
+    assert zoo.download(name, root=str(tmp_path)) == p
+    assert len(fetched) == 2
+
+    # a server that keeps returning corrupt bytes raises loudly
+    def bad_retrieve(url, target):
+        with open(target, "wb") as f:
+            f.write(b"still-wrong")
+
+    monkeypatch.setattr(zoo.urllib.request, "urlretrieve", bad_retrieve)
+    os.remove(p)
+    with pytest.raises(RuntimeError, match="sha256"):
+        zoo.download(name, root=str(tmp_path))
+
+    # a directory squatting on the cache filename is rejected
+    os.remove(p)
+    os.makedirs(p)
+    with pytest.raises(RuntimeError, match="not a regular file"):
+        zoo.download(name, root=str(tmp_path))
