@@ -41,6 +41,7 @@ towers in every trainer path) never touches it.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -83,8 +84,16 @@ def _cell_bytes(s: int, d: int, heads: int, itemsize: int) -> int:
     return slabs + scores
 
 
+# Probe-only override (read once at import): force the whole-row batch
+# block regardless of the byte model, for full-model gb sweeps in separate
+# processes (the in-process jit cache would ignore a patched global).
+_FORCE_GB = int(os.environ.get("DMT_SHORT_BLOCK_B") or "0")
+
+
 def pick_block_b(b: int, s: int, d: int, heads: int, itemsize: int = 2) -> int:
     """Largest power-of-two batch block whose cell fits the VMEM budget."""
+    if _FORCE_GB:
+        return min(_FORCE_GB, b)
     per_img = _cell_bytes(s, d, heads, itemsize)
     gb = 1
     while gb < b and 2 * gb * per_img <= VMEM_BUDGET_BYTES:
