@@ -9,6 +9,8 @@ layout, scores never leaving VMEM.  Reference semantics: torch
 oracle is the plain XLA formulation.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -354,3 +356,23 @@ def test_auto_routes_to_short_on_tpu(monkeypatch):
     ql, kl, vl = _qkv(1, 2048, 768, seed=21)
     att.multi_head_attention(ql, kl, vl, 12, impl="auto")
     assert len(calls) == 1
+
+
+def test_force_gb_env_override():
+    """DMT_SHORT_BLOCK_B (probe-only) forces the whole-row batch block;
+    read once at import, so probe in a subprocess like the gb sweeps do."""
+    import subprocess
+    import sys
+
+    code = (
+        "from debiasing_multi_modal_tpu.ops import short_attention as sa\n"
+        "assert sa._FORCE_GB == 4, sa._FORCE_GB\n"
+        "assert sa.pick_block_b(512, 50, 768, 12) == 4\n"
+        "assert sa.pick_block_b(2, 50, 768, 12) == 2  # capped at b\n"
+    )
+    env = dict(os.environ, DMT_SHORT_BLOCK_B="4", JAX_PLATFORMS="")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=os.path.dirname(os.path.dirname(__file__)))
+    # unset (the default everywhere but probes): the byte model decides
+    from debiasing_multi_modal_tpu.ops.short_attention import _FORCE_GB
+    assert _FORCE_GB == 0
