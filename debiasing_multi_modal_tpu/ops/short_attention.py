@@ -72,33 +72,68 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _cell_bytes(s: int, d: int, heads: int, itemsize: int) -> int:
+def _cell_bytes(s: int, d: int, heads: int, itemsize: int,
+                merge: int = 1) -> int:
     """Per-image VMEM footprint of one grid cell (registers are tiled, so
-    count padded shapes: sublanes to the dtype tile, lanes to 128)."""
+    count padded shapes: sublanes to the dtype tile, lanes to 128).
+
+    ``merge`` > 1 models the image-merged score layout: m images share one
+    block-diagonally masked [m*S, m*S] score matrix (plus the f32 mask
+    itself), so the per-image score share grows ~linearly with m while the
+    slabs stay put."""
     sub = 16 if itemsize == 2 else 8
-    s_r = _round_up(s, sub)
-    slabs = 4 * s_r * _round_up(d, 128) * itemsize  # q, k, v, o
+    ms = s * merge
+    slabs = 4 * _round_up(ms, sub) * _round_up(d, 128) * itemsize // merge
     # f32 logits + exp for one head at a time, plus the bf16 PV operand
-    s_l = _round_up(s, 128)
-    scores = 2 * _round_up(s, 8) * s_l * 4 + s_r * s_l * itemsize
-    return slabs + scores
+    s_l = _round_up(ms, 128)
+    scores = 2 * _round_up(ms, 8) * s_l * 4 + _round_up(ms, sub) * s_l * itemsize
+    if merge > 1:
+        scores += _round_up(ms, 8) * s_l * 4  # the additive block mask
+    return slabs + scores // merge
 
 
 # Probe-only override (read once at import): force the whole-row batch
 # block regardless of the byte model, for full-model gb sweeps in separate
 # processes (the in-process jit cache would ignore a patched global).
 _FORCE_GB = int(os.environ.get("DMT_SHORT_BLOCK_B") or "0")
+# Probe-only override for the image-merge factor (same fresh-process
+# pattern): merge m images of a cell into one block-diagonally masked
+# [m*S, m*S] score matrix so the MXU sees fewer, larger dots and the
+# S -> 128 lane padding amortizes over m sequences.  0 = the measured
+# auto policy (pick_merge).
+_FORCE_MERGE = int(os.environ.get("DMT_SHORT_MERGE") or "0")
 
 
-def pick_block_b(b: int, s: int, d: int, heads: int, itemsize: int = 2) -> int:
+def pick_block_b(b: int, s: int, d: int, heads: int, itemsize: int = 2,
+                 merge: int = 1) -> int:
     """Largest power-of-two batch block whose cell fits the VMEM budget."""
     if _FORCE_GB:
         return min(_FORCE_GB, b)
-    per_img = _cell_bytes(s, d, heads, itemsize)
-    gb = 1
+    per_img = _cell_bytes(s, d, heads, itemsize, merge)
+    # start at ``merge`` (the grid cell must hold at least one merge group;
+    # smaller batches just pad up to one cell)
+    gb = merge
     while gb < b and 2 * gb * per_img <= VMEM_BUDGET_BYTES:
         gb *= 2
     return gb
+
+
+def pick_merge(b: int, s: int, d: int, heads: int, itemsize: int = 2) -> int:
+    """Measured auto policy for the image-merge factor (power of two; m
+    images share one block-diagonally masked [m*S, m*S] score matrix).
+
+    Merging trades fewer/larger MXU dots against extra masked-lane FLOPs
+    and VPU softmax work; it can only pay where the lane padding of a
+    single image's scores is poor (S well under the 128-lane tile).  The
+    policy is measured FULL-MODEL per §5 (DESIGN §8.8): pending that
+    measurement the default stays 1; probes force m via DMT_SHORT_MERGE in
+    fresh processes."""
+    if _FORCE_MERGE:
+        m = 1
+        while m * 2 <= min(_FORCE_MERGE, b):
+            m *= 2
+        return m
+    return 1
 
 
 def _tiled_cell_bytes(s: int, bq: int, d: int, itemsize: int) -> int:
@@ -150,27 +185,41 @@ def supported(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
 
 
 def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
-                       scale: float, causal: bool):
+                       scale: float, causal: bool, merge: int = 1):
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
-    s, d = q.shape[1], q.shape[2]
+    gb, s, d = q.shape
     hd = d // heads
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        causal_add = jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
+    # merge > 1: fold m images into one [m*S, m*S] block-diagonally masked
+    # score matrix — fewer, larger MXU dots, and the S -> 128 lane padding
+    # amortizes over m sequences.  Masked lanes exp to exactly 0.0 in f32,
+    # so the math is the per-image math up to f32 reduction order (the
+    # softmax sum and PV dot contract over m*S lanes; measured <=1 bf16
+    # ulp vs merge=1).
+    ms = s * merge
+    if merge > 1:
+        q = q.reshape(gb // merge, ms, d)
+        k = k.reshape(gb // merge, ms, d)
+        v = v.reshape(gb // merge, ms, d)
+    if causal or merge > 1:
+        row = jax.lax.broadcasted_iota(jnp.int32, (ms, ms), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ms, ms), 1)
+        ok = (row // s) == (col // s) if merge > 1 else col <= row
+        if causal and merge > 1:
+            ok = jnp.logical_and(ok, col <= row)
+        mask_add = jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)
     for h in range(heads):
         qh = jax.lax.slice_in_dim(q, h * hd, (h + 1) * hd, axis=2)
         kh = jax.lax.slice_in_dim(k, h * hd, (h + 1) * hd, axis=2)
         vh = jax.lax.slice_in_dim(v, h * hd, (h + 1) * hd, axis=2)
-        # [gB, S, S] logits, f32, never leaving VMEM
+        # [gB/m, mS, mS] logits, f32, never leaving VMEM
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        if causal:
-            logits = logits + causal_add[None]
+        if causal or merge > 1:
+            logits = logits + mask_add[None]
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -178,6 +227,8 @@ def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
             w.astype(v.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if merge > 1:
+            oh = oh.reshape(gb, s, hd)
         # write each head straight into its output lane slice — holding all
         # H chunks for one concat keeps H lane-padded [gB, S, 128] values
         # live at once and was the dominant term of the gb=16 VMEM OOM
@@ -245,18 +296,25 @@ def _xla_merged(q, k, v, num_heads, causal):
     return out.astype(q.dtype).reshape(b, s, d)
 
 
-def _pallas_forward(q, k, v, num_heads, causal, interpret, block_b, scale):
+def _pallas_forward(q, k, v, num_heads, causal, interpret, block_b, scale,
+                    merge=1):
     """The raw pallas_call on (possibly per-shard) shapes.  ``scale`` is
     passed explicitly because under head (D-axis) sharding the local head
     count changes but the softmax scale must stay the GLOBAL head_dim's.
 
     Two modes by VMEM cell size: whole-row (the measured S=50..577 winner)
     when a full sequence's cell fits, else q-tiled with the full k/v slab
-    still resident (exact softmax, global causality from the tile id)."""
+    still resident (exact softmax, global causality from the tile id).
+    ``merge`` applies to the whole-row mode only."""
     b, s, d = q.shape
     itemsize = q.dtype.itemsize
     if _cell_bytes(s, d, num_heads, itemsize) <= CELL_VMEM_LIMIT:
-        gb = block_b or pick_block_b(b, s, d, num_heads, itemsize)
+        if merge > 1 and _cell_bytes(s, d, num_heads, itemsize,
+                                     merge) > CELL_VMEM_LIMIT:
+            merge = 1  # merged cell would not fit; fall back to per-image
+        gb = block_b or pick_block_b(b, s, d, num_heads, itemsize, merge)
+        while merge > 1 and gb % merge:
+            merge //= 2  # an explicit block_b may not hold a merge group
         b_pad = _round_up(b, gb)
         if b_pad != b:
             q, k, v = (jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
@@ -264,7 +322,7 @@ def _pallas_forward(q, k, v, num_heads, causal, interpret, block_b, scale):
         out = pl.pallas_call(
             functools.partial(
                 _short_attn_kernel, heads=num_heads, scale=scale,
-                causal=causal,
+                causal=causal, merge=merge,
             ),
             grid=(b_pad // gb,),
             in_specs=[pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0))] * 3,
@@ -305,7 +363,7 @@ def _pallas_forward(q, k, v, num_heads, causal, interpret, block_b, scale):
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_forward(num_heads: int, causal: bool, interpret: bool,
-                         block_b: Optional[int], d: int):
+                         block_b: Optional[int], d: int, merge: int = 1):
     """A custom_partitioning wrapper so the Mosaic kernel works inside a
     multi-device ``jit`` (the production extraction step is a pjit over a dp
     mesh — extract/runner.py; a bare custom call has no SPMD rule and GSPMD
@@ -320,7 +378,7 @@ def _partitioned_forward(num_heads: int, causal: bool, interpret: bool,
     @custom_partitioning
     def fwd(q, k, v):
         return _pallas_forward(q, k, v, num_heads, causal, interpret,
-                               block_b, scale)
+                               block_b, scale, merge)
 
     def _normalize(mesh, sharding):
         spec = getattr(sharding, "spec", None)
@@ -349,7 +407,7 @@ def _partitioned_forward(num_heads: int, causal: bool, interpret: bool,
         def lower_fn(q, k, v):
             local_heads = num_heads * q.shape[2] // d
             return _pallas_forward(q, k, v, local_heads, causal, interpret,
-                                   block_b, scale)
+                                   block_b, scale, merge)
 
         return mesh, lower_fn, result_sharding, arg_shardings
 
@@ -367,22 +425,23 @@ def _partitioned_forward(num_heads: int, causal: bool, interpret: bool,
     return fwd
 
 
-def _forward(q, k, v, num_heads, causal, interpret, block_b):
+def _forward(q, k, v, num_heads, causal, interpret, block_b, merge):
     return _partitioned_forward(
-        num_heads, causal, interpret, block_b, q.shape[2]
+        num_heads, causal, interpret, block_b, q.shape[2], merge
     )(q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _short(q, k, v, num_heads, causal, interpret, block_b):
-    return _forward(q, k, v, num_heads, causal, interpret, block_b)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _short(q, k, v, num_heads, causal, interpret, block_b, merge):
+    return _forward(q, k, v, num_heads, causal, interpret, block_b, merge)
 
 
-def _short_fwd(q, k, v, num_heads, causal, interpret, block_b):
-    return _forward(q, k, v, num_heads, causal, interpret, block_b), (q, k, v)
+def _short_fwd(q, k, v, num_heads, causal, interpret, block_b, merge):
+    return (_forward(q, k, v, num_heads, causal, interpret, block_b, merge),
+            (q, k, v))
 
 
-def _short_bwd(num_heads, causal, interpret, block_b, res, g):
+def _short_bwd(num_heads, causal, interpret, block_b, merge, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q, k, v: _xla_merged(q, k, v, num_heads, causal),
                      q, k, v)
@@ -393,7 +452,8 @@ _short.defvjp(_short_fwd, _short_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "causal", "interpret", "block_b")
+    jax.jit,
+    static_argnames=("num_heads", "causal", "interpret", "block_b", "merge"),
 )
 def short_attention(
     q: jax.Array,
@@ -404,13 +464,16 @@ def short_attention(
     causal: bool = False,
     interpret: Optional[bool] = None,
     block_b: Optional[int] = None,
+    merge: Optional[int] = None,
 ) -> jax.Array:
     """Fused short-S attention: q/k/v [B, S, D] merged-head -> [B, S, D].
 
     ``interpret=None`` resolves by backend like flash_attention: compiled
     Mosaic on TPU, Pallas interpret mode elsewhere.  ``block_b`` overrides
-    the VMEM-budgeted batch block (STATIC so tuning probes re-trace).
-    Callers should gate on :func:`supported`; violations raise here.
+    the VMEM-budgeted batch block (STATIC so tuning probes re-trace);
+    ``merge`` the image-merge factor (``None`` = :func:`pick_merge`'s
+    measured policy).  Callers should gate on :func:`supported`;
+    violations raise here.
     """
     if not supported(q, k, v, num_heads):
         raise ValueError(
@@ -421,4 +484,7 @@ def short_attention(
         from debiasing_multi_modal_tpu.ops.attention import _on_tpu
 
         interpret = not _on_tpu()
-    return _short(q, k, v, num_heads, causal, interpret, block_b)
+    if merge is None:
+        merge = pick_merge(q.shape[0], q.shape[1], q.shape[2], num_heads,
+                           q.dtype.itemsize)
+    return _short(q, k, v, num_heads, causal, interpret, block_b, merge)

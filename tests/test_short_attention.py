@@ -358,6 +358,107 @@ def test_auto_routes_to_short_on_tpu(monkeypatch):
     assert len(calls) == 1
 
 
+class TestImageMerge:
+    """merge=m folds m images of a grid cell into one block-diagonally
+    masked [m*S, m*S] score matrix (fewer, larger MXU dots; the S -> 128
+    lane padding amortizes over m).  Exact up to f32 reduction order —
+    the contraction runs over m*S lanes, so outputs may differ from
+    merge=1 by ~1 ulp of the compute dtype."""
+
+    @pytest.mark.parametrize("m", [2, 4])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_unmerged(self, m, causal):
+        q, k, v = _qkv(8, 50, 256, seed=30)
+        out = short_attention(q, k, v, 4, causal=causal, merge=m)
+        ref = _xla_merged(q, k, v, 4, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_batch_not_multiple_of_merge(self):
+        """B=5 with merge=4 pads to one 8-image cell; padded rows are
+        masked off the real images' blocks so nothing leaks."""
+        q, k, v = _qkv(5, 50, 256, seed=31)
+        out = short_attention(q, k, v, 4, merge=4)
+        ref = _xla_merged(q, k, v, 4, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_bf16_ulp_vs_unmerged(self):
+        q, k, v = _qkv(8, 50, 768, dtype=np.float32, seed=32)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        a = np.asarray(short_attention(q, k, v, 12, merge=1),
+                       dtype=np.float32)
+        b = np.asarray(short_attention(q, k, v, 12, merge=2),
+                       dtype=np.float32)
+        # one bf16 ulp at unit scale
+        assert np.max(np.abs(a - b)) <= 2 * 0.0078125
+
+    def test_grads_with_merge(self):
+        q, k, v = _qkv(4, 50, 256, seed=33)
+        g = jax.grad(
+            lambda q, k, v: (short_attention(q, k, v, 4, merge=2) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        r = jax.grad(
+            lambda q, k, v: (_xla_merged(q, k, v, 4, False) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-4)
+
+    def test_merge_under_dp_mesh(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        sh = NamedSharding(mesh, P("dp", None, None))
+        q, k, v = _qkv(16, 50, 256, seed=34)
+        f = jax.jit(lambda q, k, v: short_attention(q, k, v, 4, merge=2),
+                    in_shardings=(sh,) * 3, out_shardings=sh)
+        out = f(q, k, v)
+        ref = _xla_merged(q, k, v, 4, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_vmem_overflow_falls_back(self):
+        """A merge whose [m*S, m*S] cell exceeds CELL_VMEM_LIMIT silently
+        drops to merge=1 rather than OOMing Mosaic."""
+        from debiasing_multi_modal_tpu.ops.short_attention import (
+            CELL_VMEM_LIMIT,
+            _cell_bytes,
+        )
+
+        s, d, h = 577, 256, 4
+        assert _cell_bytes(s, d, h, 4) <= CELL_VMEM_LIMIT
+        assert _cell_bytes(s, d, h, 4, merge=8) > CELL_VMEM_LIMIT
+        q, k, v = _qkv(8, s, d, seed=35)
+        out = short_attention(q, k, v, h, merge=8)
+        ref = _xla_merged(q, k, v, h, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_pick_merge_default_and_force(self):
+        """Auto policy is 1 pending the full-model measurement (DESIGN
+        §8.8); DMT_SHORT_MERGE (probe-only, read at import) forces it in
+        fresh processes."""
+        import subprocess
+        import sys
+
+        from debiasing_multi_modal_tpu.ops.short_attention import pick_merge
+
+        assert pick_merge(512, 50, 768, 12) == 1
+        code = (
+            "from debiasing_multi_modal_tpu.ops import short_attention as sa\n"
+            "assert sa._FORCE_MERGE == 4, sa._FORCE_MERGE\n"
+            "assert sa.pick_merge(512, 50, 768, 12) == 4\n"
+            "assert sa.pick_merge(2, 50, 768, 12) == 2  # capped at b\n"
+            "assert sa.pick_merge(3, 50, 768, 12) == 2  # pow2 floor\n"
+        )
+        env = dict(os.environ, DMT_SHORT_MERGE="4", JAX_PLATFORMS="")
+        subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+
+
 def test_force_gb_env_override():
     """DMT_SHORT_BLOCK_B (probe-only) forces the whole-row batch block;
     read once at import, so probe in a subprocess like the gb sweeps do."""
