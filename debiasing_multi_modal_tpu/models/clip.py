@@ -41,6 +41,10 @@ class CLIP(nn.Module):
     # ViT-only: int8 convs measured null on this XLA build (DESIGN §8), and
     # the text tower encodes <=8 prompts total — nothing to win there.
     quant: str = "none"
+    # one [D, 3D] in-projection GEMM per attention (kernels concatenated at
+    # apply time; the param tree keeps q_proj/k_proj/v_proj) — the torch
+    # in_proj layout.  Measured policy in docs/DESIGN.md §8.8.
+    fuse_qkv: bool = False
 
     def setup(self):
         cfg = self.config
@@ -56,6 +60,7 @@ class CLIP(nn.Module):
                 attn_impl=self.attn_impl,
                 remat=self.remat,
                 quant=self.quant,
+                fuse_qkv=self.fuse_qkv,
             )
         else:
             if self.quant != "none":
@@ -84,6 +89,7 @@ class CLIP(nn.Module):
             param_dtype=cfg.param_dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            fuse_qkv=self.fuse_qkv,
         )
         self.logit_scale = self.param(
             "logit_scale",
@@ -122,6 +128,7 @@ def create_clip(
     remat: bool = False,
     fuse_bn: bool = False,
     quant: str = "none",
+    fuse_qkv: bool = False,
 ) -> CLIP:
     """``dtype=None`` keeps the config's dtype (fp32 for zoo names); an
     explicit dtype is honored for BOTH name and CLIPConfig inputs — the old
@@ -136,7 +143,8 @@ def create_clip(
             name_or_config, dtype=jnp.float32 if dtype is None else dtype
         )
     return CLIP(
-        config=cfg, attn_impl=attn_impl, remat=remat, fuse_bn=fuse_bn, quant=quant
+        config=cfg, attn_impl=attn_impl, remat=remat, fuse_bn=fuse_bn,
+        quant=quant, fuse_qkv=fuse_qkv,
     )
 
 

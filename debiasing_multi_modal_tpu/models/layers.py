@@ -97,6 +97,28 @@ class InferenceBatchNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``: declares the identical
+    {kernel, bias} tree (same names, same initializers) without computing,
+    so a fused consumer can concatenate kernels while converted checkpoints
+    keep loading at the unfused paths."""
+
+    features: int
+    in_features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class MultiHeadAttentionBlock(nn.Module):
     """Self-attention with packed-qkv-style projections over [B, S, D].
 
@@ -104,6 +126,13 @@ class MultiHeadAttentionBlock(nn.Module):
     ``ResidualAttentionBlock`` (clip/model.py:171-192): one fused in-projection
     (here three Dense layers whose kernels concatenate to the torch
     ``in_proj_weight``) and an out-projection.
+
+    ``fuse_qkv=True`` computes the three projections as ONE [D, 3D] GEMM
+    (the torch in_proj layout) by concatenating the q/k/v kernels at apply
+    time — the parameter tree is unchanged (q_proj/k_proj/v_proj), only the
+    GEMM shape differs.  On the MXU a 3x-wider N amortizes the output-tile
+    setup of three narrow (e.g. 768-wide) GEMMs; numerics are the same
+    contraction per output column (allclose-pinned in test_layers.py).
     """
 
     num_heads: int
@@ -111,6 +140,7 @@ class MultiHeadAttentionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     quant: str = "none"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
@@ -119,7 +149,20 @@ class MultiHeadAttentionBlock(nn.Module):
             d, dtype=self.dtype, param_dtype=self.param_dtype,
             quant=self.quant, name=name,
         )
-        q, k, v = dense("q_proj")(x), dense("k_proj")(x), dense("v_proj")(x)
+        if self.fuse_qkv and self.quant == "none":
+            kbs = [
+                _DenseParams(d, d, param_dtype=self.param_dtype, name=n)()
+                for n in ("q_proj", "k_proj", "v_proj")
+            ]
+            kernel = jnp.concatenate([kb[0] for kb in kbs], axis=1)
+            bias = jnp.concatenate([kb[1] for kb in kbs])
+            qkv = (
+                jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+                + bias.astype(self.dtype)
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q, k, v = dense("q_proj")(x), dense("k_proj")(x), dense("v_proj")(x)
         out = multi_head_attention(
             q, k, v, self.num_heads, causal=causal, impl=self.attn_impl
         )
@@ -161,6 +204,7 @@ class ResidualAttentionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     quant: str = "none"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -170,6 +214,7 @@ class ResidualAttentionBlock(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             quant=self.quant,
+            fuse_qkv=self.fuse_qkv,
             name="attn",
         )(LayerNormF32(param_dtype=self.param_dtype, name="ln_1")(x), causal=self.causal)
         x = x + MLPBlock(
@@ -195,6 +240,7 @@ class Transformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: str = "none"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
@@ -215,6 +261,7 @@ class Transformer(nn.Module):
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
                 quant=self.quant,
+                fuse_qkv=self.fuse_qkv,
                 name=f"resblocks_{i}",
             )(x)
         return x

@@ -36,6 +36,7 @@ class TextTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, token_ids: jax.Array) -> jax.Array:
@@ -63,6 +64,7 @@ class TextTransformer(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            fuse_qkv=self.fuse_qkv,
             name="transformer",
         )(x, causal=True)
 

@@ -50,6 +50,7 @@ class VisionTransformer(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     quant: str = "none"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -101,6 +102,7 @@ class VisionTransformer(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             quant=self.quant,
+            fuse_qkv=self.fuse_qkv,
             name="transformer",
         )(tokens)
 

@@ -44,8 +44,8 @@ enable_persistent_cache()
 
 def main():
     merge = sa._FORCE_MERGE or sa.pick_merge(BATCH, 50, 768, 12)
-    print(f"backend: {jax.default_backend()}  batch: {BATCH}  "
-          f"merge: {merge} (forced={bool(sa._FORCE_MERGE)})")
+    print(f"backend: {jax.default_backend()}  batch: {BATCH}  ",
+          f"merge: {merge} (forced={bool(sa._FORCE_MERGE)})", flush=True)
     model = create_clip("ViT-B/32", dtype=jnp.bfloat16, attn_impl="short")
     res = model.config.image_resolution
 
@@ -68,7 +68,7 @@ def main():
     )
     tf = GF_PER_IMG * BATCH / ms
     print(f"full visual encode   m={merge}: {ms:9.3f} ms  {tf:7.1f} TF/s "
-          f"({tf / PEAK_TF:5.1%} peak)")
+          f"({tf / PEAK_TF:5.1%} peak)", flush=True)
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray((rng.random((BATCH, 256, 256, 3)) * 255).astype(np.uint8))
@@ -85,8 +85,27 @@ def main():
     ips = BATCH / ms * 1e3
     mfu = ips * GF_PER_IMG / 1e3 / PEAK_TF
     print(f"full extraction step m={merge}: {ms:9.3f} ms  "
-          f"imgs/sec {ips:,.0f}  MFU {mfu:.3f}")
-    print("done", time.strftime("%H:%M:%S"))
+          f"imgs/sec {ips:,.0f}  MFU {mfu:.3f}", flush=True)
+
+    # text tower: S=77 pads 77 -> 128 lanes (1.66x waste), the other
+    # candidate regime for the merge lever.  Causal attention; the kernel
+    # combines the block-diagonal merge mask with the causal mask.
+    rng_t = np.random.default_rng(1)
+    toks = np.zeros((BATCH, 77), np.int32)
+    vocab = model.config.vocab_size
+    for i in range(BATCH):
+        ln = int(rng_t.integers(8, 70))
+        toks[i, 0] = vocab - 2
+        toks[i, 1:ln - 1] = rng_t.integers(1, vocab - 3, ln - 2)
+        toks[i, ln - 1] = vocab - 1
+    toks = jnp.asarray(toks)
+    ms = chain_time(
+        lambda v, t: model.apply(v, t, method=model.encode_text),
+        variables, toks, iters=16,
+    )
+    print(f"full text encode     m={merge}: {ms:9.3f} ms  "
+          f"({BATCH / ms * 1e3:,.0f} prompts/sec)", flush=True)
+    print("done", time.strftime("%H:%M:%S"), flush=True)
 
 
 if __name__ == "__main__":
