@@ -123,11 +123,15 @@ def pick_merge(b: int, s: int, d: int, heads: int, itemsize: int = 2) -> int:
     images share one block-diagonally masked [m*S, m*S] score matrix).
 
     Merging trades fewer/larger MXU dots against extra masked-lane FLOPs
-    and VPU softmax work; it can only pay where the lane padding of a
-    single image's scores is poor (S well under the 128-lane tile).  The
-    policy is measured FULL-MODEL per §5 (DESIGN §8.8): pending that
-    measurement the default stays 1; probes force m via DMT_SHORT_MERGE in
-    fresh processes."""
+    and VPU softmax work; it could only pay where the lane padding of a
+    single image's scores is poor (S well under the 128-lane tile).  It
+    does NOT pay: measured FULL-MODEL per §5 (DESIGN §8.8, round 5),
+    merge=1 beats m=2/4/8 on every routed surface — ViT-B/32 extraction
+    13,523 vs 11,074/10,961/10,457 imgs/s and text encode 18,392 vs
+    15,228/15,590/13,720 prompts/s — because the block-diagonal [mS, mS]
+    score matrix costs m x the score FLOPs per image, which swamps the
+    lane-padding recovery it buys.  merge=1 is the measured policy;
+    probes force m via DMT_SHORT_MERGE in fresh processes."""
     if _FORCE_MERGE:
         m = 1
         while m * 2 <= min(_FORCE_MERGE, b):

@@ -438,9 +438,9 @@ class TestImageMerge:
                                    atol=3e-5)
 
     def test_pick_merge_default_and_force(self):
-        """Auto policy is 1 pending the full-model measurement (DESIGN
-        §8.8); DMT_SHORT_MERGE (probe-only, read at import) forces it in
-        fresh processes."""
+        """Auto policy is the measured merge=1 (full-model null on m=2/4/8,
+        DESIGN §8.8 round 5); DMT_SHORT_MERGE (probe-only, read at import)
+        forces it in fresh processes."""
         import subprocess
         import sys
 
