@@ -154,3 +154,30 @@ def multi_head_attention(
     v = v.reshape(b, skv, num_heads, hd)
     out = dot_product_attention(q, k, v, mask=mask, causal=causal, impl=impl)
     return out.reshape(b, sq, d)
+
+
+@functools.partial(jax.named_call, name="multi_head_attention_packed")
+def multi_head_attention_packed(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    causal: bool = False,
+    impl: str = _DEFAULT_IMPL,
+) -> jax.Array:
+    """Attention over lane-packed qkv [batch, seq, 3*model_dim] (q | k | v
+    along lanes — the fused [D, 3D] in-projection GEMM's output layout,
+    ``fuse_qkv=True``).
+
+    When the short kernel takes the shape, the packed slab feeds
+    :func:`short_attention.short_attention_packed` DIRECTLY — no
+    ``jnp.split`` copies between the GEMM and the kernel (the split tax
+    measured -14% full-model, DESIGN §8.8 round 5).  Every other impl
+    splits here and follows :func:`multi_head_attention`'s dispatch."""
+    from debiasing_multi_modal_tpu.ops import short_attention as sa
+
+    if (impl == "short" or (impl == "auto" and _on_tpu())) and (
+        sa.supported_packed(qkv, num_heads)
+    ):
+        return sa.short_attention_packed(qkv, num_heads, causal=causal)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return multi_head_attention(q, k, v, num_heads, causal=causal, impl=impl)

@@ -36,6 +36,13 @@ Differentiable via custom VJP: the backward recomputes attention with the
 plain XLA formulation and takes its gradient (the score tensor fits by
 definition in this regime).  Forward-only use (extraction, the frozen CLIP
 towers in every trainer path) never touches it.
+
+A lane-packed variant (:func:`short_attention_packed`) consumes the fused
+[D, 3D] in-projection GEMM's [B, S, 3D] output directly (head slices at
+static lane offsets 0/D/2D — no split copies).  It is the measured-best
+implementation of ``fuse_qkv=True``, which itself measured a full-model
+null vs the unfused path (XLA already horizontally fuses the three narrow
+in-projections — DESIGN §8.8 round 5), so fuse_qkv ships opt-in.
 """
 
 from __future__ import annotations
@@ -53,7 +60,9 @@ from jax.sharding import NamedSharding, PartitionSpec
 _NEG_INF = float(-1e30)
 # The effective gate is the measured per-image cell limit below (whole-row
 # or q-tiled); this policy bound keeps sequences far past the measured
-# range (S=50..1025, every point a full-model win) on the flash/XLA path.
+# range (S=50..1297, every point a full-model win — the S=1297 interior
+# point is the ViT-L@504px probe, DESIGN §8.8 round 5) on the flash/XLA
+# path.
 MAX_SEQ_LEN = 1536
 # A single image's cell (q/k/v/o slabs + one head's f32 scores) must fit
 # Mosaic's ~16 MiB scoped VMEM with margin.  Measured boundary (round 4):
@@ -188,6 +197,24 @@ def supported(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     return pick_block_q(s, d, q.dtype.itemsize) is not None
 
 
+def supported_packed(qkv: jax.Array, num_heads: int) -> bool:
+    """Gate for the lane-packed variant: qkv [B, S, 3D] (q | k | v along
+    lanes — the fused in-projection GEMM's output layout), whole-row mode
+    only (every packed-routed tower is whole-row; q-tiled shapes fall back
+    to the split path)."""
+    if qkv.ndim != 3:
+        return False
+    b, s, d3 = qkv.shape
+    if d3 % 3:
+        return False
+    d = d3 // 3
+    if not (1 < s <= MAX_SEQ_LEN):
+        return False
+    if d % num_heads or d % 128:
+        return False
+    return _cell_bytes(s, d, num_heads, qkv.dtype.itemsize) <= CELL_VMEM_LIMIT
+
+
 def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
                        scale: float, causal: bool, merge: int = 1):
     q = q_ref[...]
@@ -236,6 +263,45 @@ def _short_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
         # write each head straight into its output lane slice — holding all
         # H chunks for one concat keeps H lane-padded [gB, S, 128] values
         # live at once and was the dominant term of the gb=16 VMEM OOM
+        o_ref[:, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+
+
+def _packed_attn_kernel(qkv_ref, o_ref, *, heads: int, scale: float,
+                        causal: bool, d: int):
+    """Whole-row kernel over ONE lane-packed [gB, S, 3D] input slab.
+
+    Identical math to :func:`_short_attn_kernel` (merge=1); the only
+    difference is where the head slices come from — static lane offsets
+    0 / D / 2D into the packed slab instead of three separate refs.  This
+    lets the fused [D, 3D] in-projection GEMM's output feed the kernel
+    directly: no ``jnp.split`` materializes three [B, S, D] copies in HBM
+    (the split tax measured -14% full-model, DESIGN §8.8 round 5)."""
+    qkv = qkv_ref[...]
+    gb, s, _ = qkv.shape
+    hd = d // heads
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        mask_add = jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
+    for h in range(heads):
+        qh = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
+        kh = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd, axis=2)
+        vh = jax.lax.slice_in_dim(
+            qkv, 2 * d + h * hd, 2 * d + (h + 1) * hd, axis=2
+        )
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            logits = logits + mask_add[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            w.astype(qkv.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         o_ref[:, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
 
 
@@ -492,3 +558,136 @@ def short_attention(
         merge = pick_merge(q.shape[0], q.shape[1], q.shape[2], num_heads,
                            q.dtype.itemsize)
     return _short(q, k, v, num_heads, causal, interpret, block_b, merge)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed variant: one [B, S, 3D] qkv input (q | k | v along lanes), the
+# output layout of the fused [D, 3D] in-projection GEMM (fuse_qkv=True).
+# Measured rationale (DESIGN §8.8, round 5): the fused GEMM runs 142 vs
+# 3 x 93.5 TF/s standalone, but splitting its output back into three
+# [B, S, D] slabs costs an HBM round trip that turned the win into a -14%
+# full-model loss.  Consuming the packed slab directly via static lane
+# offsets keeps the wide-GEMM rate AND the kernel's zero-glue contract.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_forward_packed(qkv, num_heads, causal, interpret, block_b, scale):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    itemsize = qkv.dtype.itemsize
+    gb = block_b or pick_block_b(b, s, d, num_heads, itemsize)
+    b_pad = _round_up(b, gb)
+    if b_pad != b:
+        qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_attn_kernel, heads=num_heads, scale=scale,
+            causal=causal, d=d,
+        ),
+        grid=(b_pad // gb,),
+        in_specs=[pl.BlockSpec((gb, s, d3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((gb, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return out[:b] if b_pad != b else out
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward_packed(num_heads: int, causal: bool,
+                                interpret: bool, block_b: Optional[int],
+                                d: int):
+    """SPMD rule for the packed kernel inside a multi-device jit.  Only the
+    batch axis shards (the packed lane axis interleaves q/k/v so a D-axis
+    shard is NOT a head-local slice of all three — tensor-parallel runs use
+    the split path, which has the head-boundary rule)."""
+    scale = (d // num_heads) ** -0.5
+
+    @custom_partitioning
+    def fwd(qkv):
+        return _pallas_forward_packed(qkv, num_heads, causal, interpret,
+                                      block_b, scale)
+
+    def _normalize(mesh, sharding):
+        spec = getattr(sharding, "spec", None)
+        batch = None if spec is None else tuple(spec)[0] if len(tuple(spec)) else None
+        return NamedSharding(mesh, PartitionSpec(batch, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sharding = _normalize(mesh, arg_shapes[0].sharding)
+
+        def lower_fn(qkv):
+            return _pallas_forward_packed(qkv, num_heads, causal, interpret,
+                                          block_b, scale)
+
+        return mesh, lower_fn, arg_sharding, (arg_sharding,)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _normalize(mesh, arg_shapes[0].sharding)
+
+    fwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="b s x -> b s y",
+        need_replication_factors=("s", "x", "y"),
+    )
+    return fwd
+
+
+def _forward_packed(qkv, num_heads, causal, interpret, block_b):
+    return _partitioned_forward_packed(
+        num_heads, causal, interpret, block_b, qkv.shape[2] // 3
+    )(qkv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _short_packed(qkv, num_heads, causal, interpret, block_b):
+    return _forward_packed(qkv, num_heads, causal, interpret, block_b)
+
+
+def _short_packed_fwd(qkv, num_heads, causal, interpret, block_b):
+    return (_forward_packed(qkv, num_heads, causal, interpret, block_b),
+            (qkv,))
+
+
+def _short_packed_bwd(num_heads, causal, interpret, block_b, res, g):
+    (qkv,) = res
+
+    def ref(packed):
+        q, k, v = jnp.split(packed, 3, axis=-1)
+        return _xla_merged(q, k, v, num_heads, causal)
+
+    _, vjp = jax.vjp(ref, qkv)
+    return vjp(g)
+
+
+_short_packed.defvjp(_short_packed_fwd, _short_packed_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret", "block_b")
+)
+def short_attention_packed(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+    block_b: Optional[int] = None,
+) -> jax.Array:
+    """Fused short-S attention over lane-packed qkv [B, S, 3D] -> [B, S, D].
+
+    The packed layout is exactly what the fused [D, 3D] in-projection GEMM
+    produces (torch's ``in_proj_weight`` column order: q, k, v); the kernel
+    slices heads at static lane offsets so no split copies touch HBM.
+    Callers should gate on :func:`supported_packed`; violations raise."""
+    if not supported_packed(qkv, num_heads):
+        raise ValueError(
+            f"short_attention_packed does not support qkv{qkv.shape} "
+            f"heads={num_heads} (see supported_packed())"
+        )
+    if interpret is None:
+        from debiasing_multi_modal_tpu.ops.attention import _on_tpu
+
+        interpret = not _on_tpu()
+    return _short_packed(qkv, num_heads, causal, interpret, block_b)

@@ -226,6 +226,35 @@ class TestMeshPartitioning:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-4)
 
+    def test_packed_dp_sharded_batch_no_allgather(self):
+        """The lane-packed variant's SPMD rule: batch shards freely (the
+        packed lane axis stays replicated — q/k/v interleave there, so a
+        D shard is not a head-local slice of all three)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from debiasing_multi_modal_tpu.ops.short_attention import (
+            short_attention_packed,
+        )
+
+        mesh = self._mesh((8,), ("dp",))
+        sh_in = NamedSharding(mesh, P("dp", None, None))
+        rng = np.random.default_rng(12)
+        qkv = jnp.asarray(
+            rng.standard_normal((16, 50, 3 * 256)).astype(np.float32)
+        )
+        f = jax.jit(
+            lambda p: short_attention_packed(p, 4, causal=True),
+            in_shardings=(sh_in,), out_shardings=sh_in,
+        )
+        txt = f.lower(qkv).compile().as_text()
+        assert "all-gather" not in txt
+        out = f(qkv)
+        assert out.sharding.is_equivalent_to(sh_in, 3)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        ref = _xla_merged(q, k, v, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
 
 class TestQTiledMode:
     """Past the whole-row VMEM cell, _pallas_forward switches to q tiling
