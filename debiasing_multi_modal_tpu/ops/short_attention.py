@@ -609,8 +609,8 @@ def _partitioned_forward_packed(num_heads: int, causal: bool,
                                       block_b, scale)
 
     def _normalize(mesh, sharding):
-        spec = getattr(sharding, "spec", None)
-        batch = None if spec is None else tuple(spec)[0] if len(tuple(spec)) else None
+        spec = tuple(getattr(sharding, "spec", None) or ())
+        batch = spec[0] if spec else None
         return NamedSharding(mesh, PartitionSpec(batch, None, None))
 
     def partition(mesh, arg_shapes, result_shape):
