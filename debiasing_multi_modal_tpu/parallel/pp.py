@@ -1,0 +1,168 @@
+"""Pipeline parallelism for the CLIP transformer towers.
+
+The reference is single-device (SURVEY.md §2.9); together with
+``parallel/tp.py`` (tensor parallel) and ``ops/ring_attention.py`` (sequence
+parallel) this completes the pod-scale axis set the reference lacks.  The
+surface being pipelined is the reference's homogeneous transformer stack
+(clip/model.py:195-203 ``Transformer`` = N identical
+``ResidualAttentionBlock``s), which makes the TPU-native formulation natural:
+
+- **Stacked layers, sharded stages.**  The per-block parameter trees
+  (``resblocks_0..L-1``, structurally identical) are stacked into one tree
+  with a leading ``[L, ...]`` layer axis and sharded over a ``stage`` mesh
+  axis — each device holds ``L / n_stages`` *consecutive* layers.  This is
+  the standard JAX/XLA pipelining recipe (scan-over-stacked-layers +
+  ``ppermute``), not a port of a torch ``Pipe`` wrapper.
+- **GPipe microbatch schedule inside one jit.**  The batch is split into M
+  microbatches; a ``fori_loop`` runs ``M + n_stages - 1`` ticks.  At tick t
+  stage s processes microbatch ``t - s``: stage 0 injects microbatch t,
+  every stage runs its local layers (a ``lax.scan`` over the stacked
+  subtree), activations rotate to the next stage via ``ppermute`` (neighbor
+  ICI traffic only), and the last stage records finished microbatches.  The
+  pipeline bubble is the usual ``(n_stages - 1) / (M + n_stages - 1)``.
+- **Composes with dp.**  Pass ``batch_axis`` to shard the microbatch rows
+  over a data axis of the same mesh (dp x pp); the schedule is unchanged —
+  each dp slice runs its own pipeline.
+
+Within-block parallelism (tp) and within-sequence parallelism (ring sp)
+remain separate, composable axes; expert parallelism has no surface here
+(no MoE layers anywhere in the CLIP family — PARITY.md "Deliberate
+deviations" notes ep as n/a).
+
+Numerics: identical math to the sequential stack — same block module, same
+dtype policy; selection is by ``jnp.where`` on the stage index, and the
+final broadcast sums a one-hot-by-stage buffer (exact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from debiasing_multi_modal_tpu.models.layers import ResidualAttentionBlock
+
+
+def stack_block_params(transformer_params: Any, prefix: str = "resblocks_"):
+    """Stack per-layer block subtrees into one ``[L, ...]``-leaved tree.
+
+    ``transformer_params`` is a Transformer params dict with keys
+    ``{prefix}{i}`` (the layout ``models/layers.py::Transformer`` creates and
+    ``weights/convert.py`` fills from torch checkpoints).  Returns
+    ``(stacked_tree, n_layers)``.
+    """
+    idx = []
+    for key in transformer_params:
+        if key.startswith(prefix):
+            idx.append(int(key[len(prefix):]))
+    if not idx:
+        raise ValueError(f"no '{prefix}*' blocks in params: "
+                         f"{list(transformer_params)}")
+    n_layers = max(idx) + 1
+    if sorted(idx) != list(range(n_layers)):
+        raise ValueError(f"non-contiguous block indices: {sorted(idx)}")
+    blocks = [transformer_params[f"{prefix}{i}"] for i in range(n_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return stacked, n_layers
+
+
+def validate_pp(n_layers: int, n_stages: int, batch: int, microbatches: int):
+    if n_layers % n_stages:
+        raise ValueError(
+            f"pipeline stages {n_stages} must divide the {n_layers} layers"
+        )
+    if microbatches < 1 or batch % microbatches:
+        raise ValueError(
+            f"microbatches {microbatches} must divide the batch {batch}"
+        )
+
+
+def pipeline_transformer(
+    stacked_params: Any,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    num_heads: int,
+    causal: bool = False,
+    microbatches: int = 1,
+    stage_axis: str = "stage",
+    batch_axis: Optional[str] = None,
+    dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Run the stacked transformer over ``x`` [B, S, D] pipeline-parallel.
+
+    ``stacked_params`` is ``stack_block_params``'s tree (leading layer axis),
+    sharded over ``stage_axis`` — consecutive layers per stage.  Returns the
+    stack's output, replicated over ``stage_axis`` (and sharded over
+    ``batch_axis`` if given, for dp x pp meshes).
+    """
+    n_stages = mesh.shape[stage_axis]
+    n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+    validate_pp(n_layers, n_stages, x.shape[0], microbatches)
+    if batch_axis is not None and (x.shape[0] // microbatches) % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"microbatch rows {x.shape[0] // microbatches} must divide the "
+            f"'{batch_axis}' axis size {mesh.shape[batch_axis]}"
+        )
+
+    block = ResidualAttentionBlock(
+        num_heads,
+        causal=causal,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        attn_impl=attn_impl,
+    )
+    m = microbatches
+
+    def _run_local(params_local, h):
+        def body(h, p):
+            return block.apply({"params": p}, h), None
+
+        h, _ = jax.lax.scan(body, h, params_local)
+        return h
+
+    def _pipeline(params_local, x_mb):
+        # x_mb: [M, mb, S, D] local rows; params_local: [L/n_stages, ...]
+        stage = jax.lax.axis_index(stage_axis)
+        ticks = m + n_stages - 1
+        out = jnp.zeros_like(x_mb)
+        carry = jnp.zeros_like(x_mb[0])
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(t, state):
+            carry, out = state
+            inject = x_mb[jnp.minimum(t, m - 1)]
+            h = jnp.where(stage == 0, inject, carry)
+            y = _run_local(params_local, h)
+            oidx = t - (n_stages - 1)
+            write = (stage == n_stages - 1) & (oidx >= 0)
+            safe = jnp.maximum(oidx, 0)
+            out = out.at[safe].set(jnp.where(write, y, out[safe]))
+            carry = jax.lax.ppermute(y, stage_axis, perm)
+            return carry, out
+
+        carry, out = jax.lax.fori_loop(0, ticks, tick, (carry, out))
+        # outputs live on the last stage only; one-hot psum replicates them
+        out = jax.lax.psum(
+            jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out)),
+            stage_axis,
+        )
+        return out
+
+    param_spec = jax.tree.map(lambda _: P(stage_axis), stacked_params)
+    x_spec = P(None, batch_axis, None, None)
+    fn = jax.shard_map(
+        _pipeline,
+        mesh=mesh,
+        in_specs=(param_spec, x_spec),
+        out_specs=x_spec,
+        check_vma=False,
+    )
+    mb = x.shape[0] // m
+    x_mb = x.reshape(m, mb, *x.shape[1:])
+    out = fn(stacked_params, x_mb)
+    return out.reshape(x.shape)

@@ -1,0 +1,145 @@
+"""Pipeline parallelism (parallel/pp.py) on the virtual 8-device mesh.
+
+The reference has no distribution at all (SURVEY.md §2.9); these tests pin
+the third pod-scale axis (after tp and ring sp): the reference's homogeneous
+transformer stack (clip/model.py:195-203) stacked along a layer axis, sharded
+over pipeline stages, and driven by a GPipe microbatch schedule inside one
+jit.  Requirements: (a) the stacked layout round-trips the real tower param
+tree, (b) the pipelined output equals the sequential stack exactly, for any
+microbatch count and causal mode, (c) it composes with data-parallel batch
+sharding, (d) stage params are really sharded and activations move by
+collective-permute (no param all-gather).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from debiasing_multi_modal_tpu.models import create_clip, init_clip
+from debiasing_multi_modal_tpu.models.config import CLIPConfig
+from debiasing_multi_modal_tpu.models.layers import Transformer
+from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+from debiasing_multi_modal_tpu.parallel.pp import (
+    pipeline_transformer,
+    stack_block_params,
+    validate_pp,
+)
+
+L, D, H, S, B = 4, 64, 2, 10, 8
+
+
+@pytest.fixture(scope="module")
+def stack():
+    tr = Transformer(width=D, layers=L, heads=H)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    variables = tr.init(jax.random.PRNGKey(0), x)
+    stacked, n = stack_block_params(variables["params"])
+    assert n == L
+    return tr, variables, x, stacked
+
+
+@pytest.mark.parametrize("microbatches", [1, 2, 4, 8])
+def test_pp_matches_sequential(stack, microbatches):
+    tr, variables, x, stacked = stack
+    ref = tr.apply(variables, x)
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    out = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=H, microbatches=microbatches
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_causal_matches_sequential(stack):
+    tr, variables, x, stacked = stack
+    ref = tr.apply(variables, x, causal=True)
+    mesh = make_mesh((2,), ("stage",), devices=jax.devices()[:2])
+    out = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=H, microbatches=4, causal=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_composes_with_dp(stack):
+    tr, variables, x, stacked = stack
+    ref = tr.apply(variables, x)
+    mesh = make_mesh((2, 4), ("data", "stage"))
+    out = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=H, microbatches=2, batch_axis="data"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_real_text_tower_subtree():
+    """The stacked layout must round-trip a real CLIP tower's transformer
+    subtree (the torch-checkpoint layout weights/convert.py fills)."""
+    cfg = CLIPConfig(
+        name="tiny-pp",
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=1,
+        vision_width=128,
+        vision_patch_size=16,
+        transformer_width=D,
+        transformer_heads=H,
+        transformer_layers=L,
+        vocab_size=128,
+    )
+    model = create_clip(cfg)
+    variables = init_clip(model, jax.random.PRNGKey(1), batch=1)
+    sub = variables["params"]["text"]["transformer"]
+    stacked, n = stack_block_params(sub)
+    assert n == L
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, cfg.context_length, D)), jnp.float32)
+    tr = Transformer(width=D, layers=L, heads=H)
+    ref = tr.apply({"params": sub}, x, causal=True)
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    out = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=H, microbatches=2, causal=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_params_sharded_and_activations_permuted(stack):
+    """Stage params must land split over the stage axis (L/4 layers per
+    device) and the compiled program must move activations by
+    collective-permute with NO all-gather of the stacked params."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    sharded = jax.device_put(
+        stacked,
+        jax.tree.map(lambda _: NamedSharding(mesh, P("stage")), stacked),
+    )
+    leaf = jax.tree.leaves(sharded)[0]
+    assert len(leaf.addressable_shards) == 4
+    assert leaf.addressable_shards[0].data.shape[0] == L // 4
+
+    fn = jax.jit(
+        lambda p, x: pipeline_transformer(
+            p, x, mesh=mesh, num_heads=H, microbatches=2
+        )
+    )
+    hlo = fn.lower(sharded, x).compile().as_text().lower()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+    ref = tr.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(fn(sharded, x)), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_pp_validation():
+    with pytest.raises(ValueError, match="must divide"):
+        validate_pp(4, 3, 8, 2)
+    with pytest.raises(ValueError, match="must divide"):
+        validate_pp(4, 2, 8, 3)
+    with pytest.raises(ValueError, match="no 'resblocks_"):
+        stack_block_params({"ln": {}})
+    with pytest.raises(ValueError, match="non-contiguous"):
+        stack_block_params({"resblocks_0": {"a": jnp.zeros(1)},
+                            "resblocks_2": {"a": jnp.zeros(1)}})
