@@ -14,7 +14,9 @@ surface being pipelined is the reference's homogeneous transformer stack
   the standard JAX/XLA pipelining recipe (scan-over-stacked-layers +
   ``ppermute``), not a port of a torch ``Pipe`` wrapper.
 - **GPipe microbatch schedule inside one jit.**  The batch is split into M
-  microbatches; a ``fori_loop`` runs ``M + n_stages - 1`` ticks.  At tick t
+  microbatches; a ``lax.scan`` runs ``M + n_stages - 1`` ticks (a scan, not
+  ``fori_loop``, so ``jax.grad`` differentiates through the schedule —
+  pipeline-parallel training, gradient-parity-pinned).  At tick t
   stage s processes microbatch ``t - s``: stage 0 injects microbatch t,
   every stage runs its local layers (a ``lax.scan`` over the stacked
   subtree), activations rotate to the next stage via ``ppermute`` (neighbor
@@ -133,7 +135,9 @@ def pipeline_transformer(
         carry = jnp.zeros_like(x_mb[0])
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        def tick(t, state):
+        def tick(state, t):
+            # scan (not fori_loop) so the schedule is reverse-differentiable:
+            # jax.grad through the pipeline trains THROUGH pp-sharded layers
             carry, out = state
             inject = x_mb[jnp.minimum(t, m - 1)]
             h = jnp.where(stage == 0, inject, carry)
@@ -143,9 +147,11 @@ def pipeline_transformer(
             safe = jnp.maximum(oidx, 0)
             out = out.at[safe].set(jnp.where(write, y, out[safe]))
             carry = jax.lax.ppermute(y, stage_axis, perm)
-            return carry, out
+            return (carry, out), None
 
-        carry, out = jax.lax.fori_loop(0, ticks, tick, (carry, out))
+        (carry, out), _ = jax.lax.scan(
+            tick, (carry, out), jnp.arange(ticks, dtype=jnp.int32)
+        )
         # outputs live on the last stage only; one-hot psum replicates them
         out = jax.lax.psum(
             jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out)),

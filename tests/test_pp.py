@@ -133,6 +133,31 @@ def test_pp_params_sharded_and_activations_permuted(stack):
     )
 
 
+def test_pp_gradients_match_sequential(stack):
+    """The schedule is a scan, so jax.grad trains THROUGH pp-sharded layers:
+    param- and input-gradients must equal the sequential stack's."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    rng = np.random.default_rng(2)
+    tgt = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+
+    def loss_pp(p, xx):
+        y = pipeline_transformer(p, xx, mesh=mesh, num_heads=H, microbatches=2)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_seq(params, xx):
+        return jnp.mean((tr.apply({"params": params}, xx) - tgt) ** 2)
+
+    g_pp, gx_pp = jax.grad(loss_pp, argnums=(0, 1))(stacked, x)
+    g_seq_tree, gx_seq = jax.grad(loss_seq, argnums=(0, 1))(
+        variables["params"], x
+    )
+    g_seq, _ = stack_block_params(g_seq_tree)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_pp), np.asarray(gx_seq), atol=1e-5)
+
+
 def test_pp_validation():
     with pytest.raises(ValueError, match="must divide"):
         validate_pp(4, 3, 8, 2)
