@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from debiasing_multi_modal_tpu.models.layers import ResidualAttentionBlock
+from debiasing_multi_modal_tpu.models.layers import (
+    ResidualAttentionBlock,
+    quick_gelu,
+)
+from debiasing_multi_modal_tpu.ops.attention import multi_head_attention
 
 
 def stack_block_params(transformer_params: Any, prefix: str = "resblocks_"):
@@ -91,6 +95,7 @@ def pipeline_transformer(
     microbatches: int = 1,
     stage_axis: str = "stage",
     batch_axis: Optional[str] = None,
+    model_axis: Optional[str] = None,
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     attn_impl: str = "auto",
@@ -101,6 +106,14 @@ def pipeline_transformer(
     sharded over ``stage_axis`` — consecutive layers per stage.  Returns the
     stack's output, replicated over ``stage_axis`` (and sharded over
     ``batch_axis`` if given, for dp x pp meshes).
+
+    ``model_axis`` adds Megatron tensor parallelism INSIDE each stage (full
+    3D: dp x pp x tp on one mesh): q/k/v and ``c_fc`` kernels column-shard
+    over it, ``out_proj``/``c_proj`` row-shard, and the block forward runs
+    manually with local heads and one ``psum`` per row-parallel projection
+    (the same f/g pattern ``parallel/tp.py`` expresses as PartitionSpecs for
+    XLA's partitioner — here explicit, because inside ``shard_map`` the
+    collectives are ours to place).
     """
     n_stages = mesh.shape[stage_axis]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -109,6 +122,11 @@ def pipeline_transformer(
         raise ValueError(
             f"microbatch rows {x.shape[0] // microbatches} must divide the "
             f"'{batch_axis}' axis size {mesh.shape[batch_axis]}"
+        )
+    tp = 1 if model_axis is None else mesh.shape[model_axis]
+    if num_heads % tp:
+        raise ValueError(
+            f"model axis size {tp} must divide the {num_heads} attention heads"
         )
 
     block = ResidualAttentionBlock(
@@ -120,9 +138,47 @@ def pipeline_transformer(
     )
     m = microbatches
 
+    def _tp_block(p, h):
+        # manual tp-aware block forward: must match ResidualAttentionBlock
+        # (models/layers.py) with column/row-sharded kernels and local heads
+        def ln(pl, z):
+            zf = z.astype(jnp.float32)
+            mu = zf.mean(-1, keepdims=True)
+            var = ((zf - mu) ** 2).mean(-1, keepdims=True)
+            y = (zf - mu) * jax.lax.rsqrt(var + 1e-5)
+            y = y * pl["scale"].astype(jnp.float32) + pl["bias"].astype(
+                jnp.float32
+            )
+            return y.astype(z.dtype)
+
+        def dense(pd, z):
+            return (
+                jnp.matmul(z.astype(dtype), pd["kernel"].astype(dtype))
+                + pd["bias"].astype(dtype)
+            )
+
+        def row_parallel(pd, z):
+            # kernel input-sharded: partial products, one psum, bias once
+            part = jnp.matmul(z.astype(dtype), pd["kernel"].astype(dtype))
+            return jax.lax.psum(part, model_axis) + pd["bias"].astype(dtype)
+
+        hn = ln(p["ln_1"]["ln"], h)
+        q = dense(p["attn"]["q_proj"], hn)
+        k = dense(p["attn"]["k_proj"], hn)
+        v = dense(p["attn"]["v_proj"], hn)
+        o = multi_head_attention(
+            q, k, v, num_heads // tp, causal=causal, impl=attn_impl
+        )
+        h = h + row_parallel(p["attn"]["out_proj"], o)
+        hn = ln(p["ln_2"]["ln"], h)
+        hh = quick_gelu(dense(p["mlp"]["c_fc"], hn))
+        return h + row_parallel(p["mlp"]["c_proj"], hh)
+
     def _run_local(params_local, h):
         def body(h, p):
-            return block.apply({"params": p}, h), None
+            if model_axis is None:
+                return block.apply({"params": p}, h), None
+            return _tp_block(p, h), None
 
         h, _ = jax.lax.scan(body, h, params_local)
         return h
@@ -159,7 +215,18 @@ def pipeline_transformer(
         )
         return out
 
-    param_spec = jax.tree.map(lambda _: P(stage_axis), stacked_params)
+    if model_axis is None:
+        param_spec = jax.tree.map(lambda _: P(stage_axis), stacked_params)
+    else:
+        # tp.py's column/row rules, with the stacked layer axis prepended
+        from debiasing_multi_modal_tpu.parallel.tp import _leaf_spec, _path_names
+
+        param_spec = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: P(
+                stage_axis, *_leaf_spec(_path_names(path), model_axis)
+            ),
+            stacked_params,
+        )
     x_spec = P(None, batch_axis, None, None)
     fn = jax.shard_map(
         _pipeline,

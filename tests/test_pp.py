@@ -133,6 +133,54 @@ def test_pp_params_sharded_and_activations_permuted(stack):
     )
 
 
+def test_pp_3d_matches_sequential(stack):
+    """Full 3D parallelism on one mesh — dp x pp x tp (2x2x2): Megatron
+    column/row sharding INSIDE each pipeline stage (manual psum per
+    row-parallel projection) must reproduce the sequential stack."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "model"))
+    for causal in (False, True):
+        ref = tr.apply(variables, x, causal=causal)
+        out = pipeline_transformer(
+            stacked, x, mesh=mesh, num_heads=H, microbatches=2, causal=causal,
+            batch_axis="data", model_axis="model",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_3d_gradients_match_sequential(stack):
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "model"))
+    rng = np.random.default_rng(3)
+    tgt = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+
+    def loss_pp(p):
+        y = pipeline_transformer(
+            p, x, mesh=mesh, num_heads=H, microbatches=2,
+            batch_axis="data", model_axis="model",
+        )
+        return jnp.mean((y - tgt) ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq, _ = stack_block_params(
+        jax.grad(
+            lambda p: jnp.mean((tr.apply({"params": p}, x) - tgt) ** 2)
+        )(variables["params"])
+    )
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pp_3d_heads_validation(stack):
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((1, 2, 4), ("data", "stage", "model"))
+    with pytest.raises(ValueError, match="attention heads"):
+        pipeline_transformer(
+            stacked, x, mesh=mesh, num_heads=H, microbatches=2,
+            model_axis="model",
+        )
+
+
 def test_pp_gradients_match_sequential(stack):
     """The schedule is a scan, so jax.grad trains THROUGH pp-sharded layers:
     param- and input-gradients must equal the sequential stack's."""
