@@ -22,14 +22,14 @@ surface being pipelined is the reference's homogeneous transformer stack
   subtree), activations rotate to the next stage via ``ppermute`` (neighbor
   ICI traffic only), and the last stage records finished microbatches.  The
   pipeline bubble is the usual ``(n_stages - 1) / (M + n_stages - 1)``.
-- **Composes with dp.**  Pass ``batch_axis`` to shard the microbatch rows
-  over a data axis of the same mesh (dp x pp); the schedule is unchanged —
-  each dp slice runs its own pipeline.
-
-Within-block parallelism (tp) and within-sequence parallelism (ring sp)
-remain separate, composable axes; expert parallelism has no surface here
-(no MoE layers anywhere in the CLIP family — PARITY.md "Deliberate
-deviations" notes ep as n/a).
+- **Composes to full 4D on one mesh.**  ``batch_axis`` shards the
+  microbatch rows (dp); ``model_axis`` adds Megatron tensor parallelism
+  inside each stage (column/row-sharded kernels, local heads, explicit
+  psums); ``seq_axis`` shards the sequence and swaps each block's attention
+  for ring attention (``ops/ring_attention.py``) — dp x pp x tp x sp in a
+  single jitted program, forward and gradients exact vs the sequential
+  stack.  Expert parallelism has no surface here (no MoE layers anywhere
+  in the CLIP family — PARITY.md "Deliberate deviations" notes ep as n/a).
 
 Numerics: identical math to the sequential stack — same block module, same
 dtype policy; selection is by ``jnp.where`` on the stage index, and the
@@ -49,6 +49,7 @@ from debiasing_multi_modal_tpu.models.layers import (
     quick_gelu,
 )
 from debiasing_multi_modal_tpu.ops.attention import multi_head_attention
+from debiasing_multi_modal_tpu.ops.ring_attention import ring_attention
 
 
 def stack_block_params(transformer_params: Any, prefix: str = "resblocks_"):
@@ -96,6 +97,7 @@ def pipeline_transformer(
     stage_axis: str = "stage",
     batch_axis: Optional[str] = None,
     model_axis: Optional[str] = None,
+    seq_axis: Optional[str] = None,
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     attn_impl: str = "auto",
@@ -114,6 +116,13 @@ def pipeline_transformer(
     (the same f/g pattern ``parallel/tp.py`` expresses as PartitionSpecs for
     XLA's partitioner — here explicit, because inside ``shard_map`` the
     collectives are ours to place).
+
+    ``seq_axis`` additionally shards the sequence dimension and runs each
+    block's attention as ring attention over that axis
+    (``ops/ring_attention.py`` — kv chunks rotate by ``ppermute``,
+    online-softmax merge, exact global causality), making the full 4D
+    dp x pp x tp x sp program: LayerNorm and the MLP are position-wise and
+    compose with S-sharding for free; only attention needs the ring.
     """
     n_stages = mesh.shape[stage_axis]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -127,6 +136,11 @@ def pipeline_transformer(
     if num_heads % tp:
         raise ValueError(
             f"model axis size {tp} must divide the {num_heads} attention heads"
+        )
+    sp = 1 if seq_axis is None else mesh.shape[seq_axis]
+    if x.shape[1] % sp:
+        raise ValueError(
+            f"sequence {x.shape[1]} must divide the '{seq_axis}' axis size {sp}"
         )
 
     block = ResidualAttentionBlock(
@@ -160,15 +174,29 @@ def pipeline_transformer(
         def row_parallel(pd, z):
             # kernel input-sharded: partial products, one psum, bias once
             part = jnp.matmul(z.astype(dtype), pd["kernel"].astype(dtype))
-            return jax.lax.psum(part, model_axis) + pd["bias"].astype(dtype)
+            if model_axis is not None:
+                part = jax.lax.psum(part, model_axis)
+            return part + pd["bias"].astype(dtype)
 
         hn = ln(p["ln_1"]["ln"], h)
         q = dense(p["attn"]["q_proj"], hn)
         k = dense(p["attn"]["k_proj"], hn)
         v = dense(p["attn"]["v_proj"], hn)
-        o = multi_head_attention(
-            q, k, v, num_heads // tp, causal=causal, impl=attn_impl
-        )
+        heads_local = num_heads // tp
+        if seq_axis is None:
+            o = multi_head_attention(
+                q, k, v, heads_local, causal=causal, impl=attn_impl
+            )
+        else:
+            # S is sharded: attention must see the global sequence — ring
+            # attention over seq_axis (head-split [B, S_local, H, Dh] layout)
+            b, sl, dl = q.shape
+            qh, kh, vh = (
+                z.reshape(b, sl, heads_local, dl // heads_local)
+                for z in (q, k, v)
+            )
+            o = ring_attention(qh, kh, vh, seq_axis, causal)
+            o = o.reshape(b, sl, dl)
         h = h + row_parallel(p["attn"]["out_proj"], o)
         hn = ln(p["ln_2"]["ln"], h)
         hh = quick_gelu(dense(p["mlp"]["c_fc"], hn))
@@ -176,7 +204,7 @@ def pipeline_transformer(
 
     def _run_local(params_local, h):
         def body(h, p):
-            if model_axis is None:
+            if model_axis is None and seq_axis is None:
                 return block.apply({"params": p}, h), None
             return _tp_block(p, h), None
 
@@ -227,7 +255,7 @@ def pipeline_transformer(
             ),
             stacked_params,
         )
-    x_spec = P(None, batch_axis, None, None)
+    x_spec = P(None, batch_axis, seq_axis, None)
     fn = jax.shard_map(
         _pipeline,
         mesh=mesh,

@@ -181,6 +181,69 @@ def test_pp_3d_heads_validation(stack):
         )
 
 
+def test_pp_4d_matches_sequential(stack):
+    """pp x tp x sp on one mesh: in-stage Megatron tp AND the sequence axis
+    sharded with per-block ring attention must reproduce the sequential
+    stack, causal and not."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("stage", "model", "seq"))
+    for causal in (False, True):
+        ref = tr.apply(variables, x, causal=causal)
+        out = pipeline_transformer(
+            stacked, x, mesh=mesh, num_heads=H, microbatches=2, causal=causal,
+            model_axis="model", seq_axis="seq",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_sp_composes_without_tp(stack):
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "seq"))
+    ref = tr.apply(variables, x, causal=True)
+    out = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=H, microbatches=2, causal=True,
+        batch_axis="data", seq_axis="seq",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_4d_gradients_match_sequential(stack):
+    """Gradients flow through the scan schedule, the in-stage psums, AND
+    ring attention's custom VJP in one program."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("stage", "model", "seq"))
+    rng = np.random.default_rng(4)
+    tgt = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+
+    def loss_pp(p):
+        y = pipeline_transformer(
+            p, x, mesh=mesh, num_heads=H, microbatches=2, causal=True,
+            model_axis="model", seq_axis="seq",
+        )
+        return jnp.mean((y - tgt) ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq, _ = stack_block_params(
+        jax.grad(
+            lambda p: jnp.mean(
+                (tr.apply({"params": p}, x, causal=True) - tgt) ** 2
+            )
+        )(variables["params"])
+    )
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pp_seq_validation(stack):
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "seq"))
+    with pytest.raises(ValueError, match="sequence"):
+        pipeline_transformer(
+            stacked, x[:, :9], mesh=mesh, num_heads=H, microbatches=2,
+            seq_axis="seq",
+        )
+
+
 def test_pp_gradients_match_sequential(stack):
     """The schedule is a scan, so jax.grad trains THROUGH pp-sharded layers:
     param- and input-gradients must equal the sequential stack's."""
