@@ -101,6 +101,7 @@ def pipeline_transformer(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     attn_impl: str = "auto",
+    remat: bool = False,
 ) -> jax.Array:
     """Run the stacked transformer over ``x`` [B, S, D] pipeline-parallel.
 
@@ -203,10 +204,18 @@ def pipeline_transformer(
         return h + row_parallel(p["mlp"]["c_proj"], hh)
 
     def _run_local(params_local, h):
-        def body(h, p):
+        def apply_one(p, h):
             if model_axis is None and seq_axis is None:
-                return block.apply({"params": p}, h), None
-            return _tp_block(p, h), None
+                return block.apply({"params": p}, h)
+            return _tp_block(p, h)
+
+        if remat:
+            # memory-true training: the backward recomputes each layer's
+            # activations instead of checkpointing every scan carry
+            apply_one = jax.checkpoint(apply_one)
+
+        def body(h, p):
+            return apply_one(p, h), None
 
         h, _ = jax.lax.scan(body, h, params_local)
         return h
@@ -256,12 +265,16 @@ def pipeline_transformer(
             stacked_params,
         )
     x_spec = P(None, batch_axis, seq_axis, None)
-    fn = jax.shard_map(
-        _pipeline,
-        mesh=mesh,
-        in_specs=(param_spec, x_spec),
-        out_specs=x_spec,
-        check_vma=False,
+    # jit the shard_map: remat's closed_call requires it, and callers get
+    # one compiled program either way (outer jits just inline this one)
+    fn = jax.jit(
+        jax.shard_map(
+            _pipeline,
+            mesh=mesh,
+            in_specs=(param_spec, x_spec),
+            out_specs=x_spec,
+            check_vma=False,
+        )
     )
     mb = x.shape[0] // m
     x_mb = x.reshape(m, mb, *x.shape[1:])

@@ -234,6 +234,27 @@ def test_pp_4d_gradients_match_sequential(stack):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_pp_remat_gradients_identical(stack):
+    """remat=True (jax.checkpoint per layer — the memory-true backward for
+    pod-scale training) must not change gradients at all."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("stage", "model", "seq"))
+    rng = np.random.default_rng(5)
+    tgt = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+
+    def loss(p, remat):
+        y = pipeline_transformer(
+            p, x, mesh=mesh, num_heads=H, microbatches=2, causal=True,
+            model_axis="model", seq_axis="seq", remat=remat,
+        )
+        return jnp.mean((y - tgt) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(stacked)
+    g1 = jax.grad(lambda p: loss(p, True))(stacked)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_pp_seq_validation(stack):
     tr, variables, x, stacked = stack
     mesh = make_mesh((2, 2, 2), ("data", "stage", "seq"))
