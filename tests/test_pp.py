@@ -290,6 +290,17 @@ def test_pp_gradients_match_sequential(stack):
     np.testing.assert_allclose(np.asarray(gx_pp), np.asarray(gx_seq), atol=1e-5)
 
 
+def test_pp_single_stage_degenerates_to_plain_scan(stack):
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((4, 1), ("data", "stage"), devices=jax.devices()[:4])
+    out = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=H, microbatches=2, batch_axis="data"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(tr.apply(variables, x)), atol=1e-5
+    )
+
+
 def test_pp_validation():
     with pytest.raises(ValueError, match="must divide"):
         validate_pp(4, 3, 8, 2)
