@@ -9,3 +9,8 @@ from debiasing_multi_modal_tpu.parallel.tp import (  # noqa: F401
     tp_specs,
     validate_tp,
 )
+from debiasing_multi_modal_tpu.parallel.pp import (  # noqa: F401
+    pipeline_transformer,
+    stack_block_params,
+    validate_pp,
+)
