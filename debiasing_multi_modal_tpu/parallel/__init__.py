@@ -11,6 +11,8 @@ from debiasing_multi_modal_tpu.parallel.tp import (  # noqa: F401
 )
 from debiasing_multi_modal_tpu.parallel.pp import (  # noqa: F401
     pipeline_transformer,
+    pipelined_text_encode,
+    pipelined_vit_encode,
     stack_block_params,
     validate_pp,
 )

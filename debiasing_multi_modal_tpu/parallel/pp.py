@@ -75,6 +75,17 @@ def stack_block_params(transformer_params: Any, prefix: str = "resblocks_"):
     return stacked, n_layers
 
 
+def _ln_f32(pl, z):
+    """LayerNorm in f32 with cast back — matches models/layers.LayerNormF32
+    (epsilon 1e-5) on a raw param dict {"scale", "bias"}."""
+    zf = z.astype(jnp.float32)
+    mu = zf.mean(-1, keepdims=True)
+    var = ((zf - mu) ** 2).mean(-1, keepdims=True)
+    y = (zf - mu) * jax.lax.rsqrt(var + 1e-5)
+    y = y * pl["scale"].astype(jnp.float32) + pl["bias"].astype(jnp.float32)
+    return y.astype(z.dtype)
+
+
 def validate_pp(n_layers: int, n_stages: int, batch: int, microbatches: int):
     if n_layers % n_stages:
         raise ValueError(
@@ -156,15 +167,7 @@ def pipeline_transformer(
     def _tp_block(p, h):
         # manual tp-aware block forward: must match ResidualAttentionBlock
         # (models/layers.py) with column/row-sharded kernels and local heads
-        def ln(pl, z):
-            zf = z.astype(jnp.float32)
-            mu = zf.mean(-1, keepdims=True)
-            var = ((zf - mu) ** 2).mean(-1, keepdims=True)
-            y = (zf - mu) * jax.lax.rsqrt(var + 1e-5)
-            y = y * pl["scale"].astype(jnp.float32) + pl["bias"].astype(
-                jnp.float32
-            )
-            return y.astype(z.dtype)
+        ln = _ln_f32
 
         def dense(pd, z):
             return (
@@ -280,3 +283,68 @@ def pipeline_transformer(
     x_mb = x.reshape(m, mb, *x.shape[1:])
     out = fn(stacked_params, x_mb)
     return out.reshape(x.shape)
+
+
+def pipelined_vit_encode(clip_model, variables, images, *, mesh, **pp_kwargs):
+    """Full ViT tower encode with the transformer stack pipelined.
+
+    Mirrors ``models/vit.py::VisionTransformer.__call__`` (reference
+    clip/model.py:206-240) outside the module — patchify GEMM, class token,
+    positional embedding, ln_pre — then runs the stack through
+    ``pipeline_transformer`` (any of its dp/tp/sp axes), then ln_post and
+    the class-token projection.  Parity vs ``encode_image`` is pinned in
+    ``test_pp.py``.  ``images``: CLIP-normalized [N, H, W, 3] floats.
+    """
+    cfg = clip_model.config
+    dtype = cfg.dtype  # the module's own compute dtype (models/clip.py)
+    vp = variables["params"]["visual"]
+    x = images.astype(dtype)
+    n, h, w, c = x.shape
+    p = cfg.vision_patch_size
+    gh, gw = h // p, w // p
+    patches = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(n, gh * gw, p * p * c)
+    tokens = patches @ vp["patch_kernel"].astype(dtype)
+    width = tokens.shape[-1]
+    cls = vp["class_embedding"].astype(dtype)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(cls, (n, 1, width)), tokens], axis=1
+    )
+    tokens = tokens + vp["positional_embedding"].astype(dtype)
+    tokens = _ln_f32(vp["ln_pre"]["ln"], tokens)
+
+    stacked, _ = stack_block_params(vp["transformer"])
+    tokens = pipeline_transformer(
+        stacked, tokens, mesh=mesh, num_heads=cfg.vision_heads,
+        dtype=dtype, **pp_kwargs,
+    )
+
+    cls_out = _ln_f32(vp["ln_post"]["ln"], tokens[:, 0])
+    return cls_out @ vp["proj"].astype(cls_out.dtype)
+
+
+def pipelined_text_encode(clip_model, variables, token_ids, *, mesh, **pp_kwargs):
+    """Full text tower encode with the (causal) stack pipelined.
+
+    Mirrors ``models/text.py::TextTransformer.__call__`` (reference
+    clip/model.py:343-356): token + positional embedding, causal pipelined
+    stack, ln_final, one-hot EOT gather, text projection.
+    """
+    cfg = clip_model.config
+    dtype = cfg.dtype
+    tw = variables["params"]["text"]
+    table = tw["token_embedding"]["embedding"].astype(dtype)
+    x = jnp.take(table, token_ids, axis=0)
+    x = x + tw["positional_embedding"].astype(dtype)
+
+    stacked, _ = stack_block_params(tw["transformer"])
+    x = pipeline_transformer(
+        stacked, x, mesh=mesh, num_heads=cfg.transformer_heads, causal=True,
+        dtype=dtype, **pp_kwargs,
+    )
+
+    x = _ln_f32(tw["ln_final"]["ln"], x)
+    eot_pos = jnp.argmax(token_ids, axis=-1)
+    onehot = jax.nn.one_hot(eot_pos, token_ids.shape[-1], dtype=x.dtype)
+    feats = jnp.einsum("ns,nsd->nd", onehot, x)
+    return feats @ tw["text_projection"].astype(feats.dtype)

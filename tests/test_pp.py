@@ -24,6 +24,8 @@ from debiasing_multi_modal_tpu.models.layers import Transformer
 from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
 from debiasing_multi_modal_tpu.parallel.pp import (
     pipeline_transformer,
+    pipelined_text_encode,
+    pipelined_vit_encode,
     stack_block_params,
     validate_pp,
 )
@@ -288,6 +290,49 @@ def test_pp_gradients_match_sequential(stack):
     for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gx_pp), np.asarray(gx_seq), atol=1e-5)
+
+
+def test_pp_full_tower_encodes_match_modules():
+    """Both full-tower helpers (patchify/embed -> pipelined stack -> head)
+    must reproduce the Flax modules' encode_image / encode_text on a
+    dp x pp x tp mesh."""
+    cfg = CLIPConfig(
+        name="tiny-pp-towers",
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=4,
+        vision_width=128,
+        vision_patch_size=16,
+        transformer_width=D,
+        transformer_heads=H,
+        transformer_layers=L,
+        vocab_size=128,
+    )
+    model = create_clip(cfg)
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    ids = np.zeros((8, cfg.context_length), np.int32)
+    for i in range(8):
+        n = int(rng.integers(3, 10))
+        ids[i, :n] = rng.integers(1, 126, n)
+        ids[i, n] = 127  # EOT = highest id (models/text.py argmax gather)
+    ids = jnp.asarray(ids)
+
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "model"))
+    ref_i = model.apply(variables, imgs, method=model.encode_image)
+    out_i = pipelined_vit_encode(
+        model, variables, imgs, mesh=mesh, microbatches=2,
+        batch_axis="data", model_axis="model",
+    )
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i), atol=2e-5)
+
+    ref_t = model.apply(variables, ids, method=model.encode_text)
+    out_t = pipelined_text_encode(
+        model, variables, ids, mesh=mesh, microbatches=2,
+        batch_axis="data", model_axis="model",
+    )
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=2e-5)
 
 
 def test_pp_single_stage_degenerates_to_plain_scan(stack):
