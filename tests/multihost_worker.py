@@ -88,6 +88,30 @@ def main() -> None:
     np.testing.assert_allclose(full_out, ref, atol=2e-5)
 
     print(f"RING OK {pid}")
+
+    # ---- pipeline parallelism across the process boundary: stages live on
+    # different PROCESSES, activations ppermute between them each tick
+    from debiasing_multi_modal_tpu.models.layers import Transformer
+    from debiasing_multi_modal_tpu.parallel.pp import (
+        pipeline_transformer,
+        stack_block_params,
+    )
+
+    tr = Transformer(width=32, layers=4, heads=2)
+    xp = jnp.asarray(rng.standard_normal((4, 8, 32)), jnp.float32)
+    variables = tr.init(jax.random.PRNGKey(0), xp)  # same params every process
+    seq_ref = np.asarray(tr.apply(variables, xp))
+    stacked, _ = stack_block_params(variables["params"])
+    # numpy leaves so jit commits them to the GLOBAL stage sharding itself
+    stacked = jax.tree.map(np.asarray, stacked)
+    piped = pipeline_transformer(
+        stacked, np.asarray(xp), mesh=mesh, stage_axis="data",
+        num_heads=2, microbatches=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(replicate(piped)), seq_ref, atol=2e-5
+    )
+    print(f"PIPELINE OK {pid}")
     print(f"OK {pid} sum={got}")
 
 

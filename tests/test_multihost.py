@@ -52,6 +52,8 @@ def test_two_process_global_batch_and_psum(local_devices):
         assert f"OK {pid}" in out, out
         # ring attention crossed the process boundary and matched the oracle
         assert f"RING OK {pid}" in out, out
+        # pipeline stages lived on different processes and matched sequential
+        assert f"PIPELINE OK {pid}" in out, out
     # both replicas computed the same global sum
     sums = {o.split("sum=")[1].strip() for _, o, _ in outs}
     assert len(sums) == 1
