@@ -26,9 +26,10 @@ surface being pipelined is the reference's homogeneous transformer stack
   microbatch rows (dp); ``model_axis`` adds Megatron tensor parallelism
   inside each stage (column/row-sharded kernels, local heads, explicit
   psums); ``seq_axis`` shards the sequence and swaps each block's attention
-  for ring attention (``ops/ring_attention.py``) — dp x pp x tp x sp in a
-  single jitted program, forward and gradients exact vs the sequential
-  stack.  Expert parallelism has no surface here (no MoE layers anywhere
+  for ring attention (``ops/ring_attention.py``) or Ulysses all-to-all
+  attention (``seq_impl="ulysses"``, ``ops/ulysses_attention.py``) —
+  dp x pp x tp x sp in a single jitted program, forward and gradients
+  exact vs the sequential stack.  Expert parallelism has no surface here (no MoE layers anywhere
   in the CLIP family — PARITY.md "Deliberate deviations" notes ep as n/a).
 
 Numerics: identical math to the sequential stack — same block module, same
@@ -50,6 +51,7 @@ from debiasing_multi_modal_tpu.models.layers import (
 )
 from debiasing_multi_modal_tpu.ops.attention import multi_head_attention
 from debiasing_multi_modal_tpu.ops.ring_attention import ring_attention
+from debiasing_multi_modal_tpu.ops.ulysses_attention import ulysses_attention
 
 
 def stack_block_params(transformer_params: Any, prefix: str = "resblocks_"):
@@ -112,6 +114,7 @@ def pipeline_transformer(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     attn_impl: str = "auto",
+    seq_impl: str = "ring",
     remat: bool = False,
 ) -> jax.Array:
     """Run the stacked transformer over ``x`` [B, S, D] pipeline-parallel.
@@ -130,11 +133,13 @@ def pipeline_transformer(
     collectives are ours to place).
 
     ``seq_axis`` additionally shards the sequence dimension and runs each
-    block's attention as ring attention over that axis
-    (``ops/ring_attention.py`` — kv chunks rotate by ``ppermute``,
-    online-softmax merge, exact global causality), making the full 4D
+    block's attention sequence-parallel over that axis, making the full 4D
     dp x pp x tp x sp program: LayerNorm and the MLP are position-wise and
-    compose with S-sharding for free; only attention needs the ring.
+    compose with S-sharding for free; only attention needs a collective —
+    ``seq_impl="ring"`` (default; kv chunks rotate by ``ppermute``,
+    online-softmax merge, never materializes full S) or ``"ulysses"``
+    (two all-to-alls exchange heads<->sequence, plain local softmax;
+    needs local heads divisible by the axis).
     """
     n_stages = mesh.shape[stage_axis]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -153,6 +158,13 @@ def pipeline_transformer(
     if x.shape[1] % sp:
         raise ValueError(
             f"sequence {x.shape[1]} must divide the '{seq_axis}' axis size {sp}"
+        )
+    if seq_impl not in ("ring", "ulysses"):
+        raise ValueError(f"unknown seq_impl {seq_impl!r}; known: ring, ulysses")
+    if seq_impl == "ulysses" and (num_heads // tp) % sp:
+        raise ValueError(
+            f"ulysses needs local heads {num_heads // tp} divisible by the "
+            f"'{seq_axis}' axis size {sp}"
         )
 
     block = ResidualAttentionBlock(
@@ -199,7 +211,10 @@ def pipeline_transformer(
                 z.reshape(b, sl, heads_local, dl // heads_local)
                 for z in (q, k, v)
             )
-            o = ring_attention(qh, kh, vh, seq_axis, causal)
+            if seq_impl == "ring":
+                o = ring_attention(qh, kh, vh, seq_axis, causal)
+            else:
+                o = ulysses_attention(qh, kh, vh, seq_axis, causal)
             o = o.reshape(b, sl, dl)
         h = h + row_parallel(p["attn"]["out_proj"], o)
         hn = ln(p["ln_2"]["ln"], h)

@@ -209,6 +209,27 @@ def test_pp_sp_composes_without_tp(stack):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pp_sp_ulysses_flavor(stack):
+    """seq_impl='ulysses' (all-to-all head<->seq exchange) must match the
+    sequential stack just like the ring flavor."""
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "seq"))
+    for causal in (False, True):
+        ref = tr.apply(variables, x, causal=causal)
+        out = pipeline_transformer(
+            stacked, x, mesh=mesh, num_heads=H, microbatches=2, causal=causal,
+            batch_axis="data", seq_axis="seq", seq_impl="ulysses",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    with pytest.raises(ValueError, match="ulysses needs local heads"):
+        # tp=2 leaves 1 local head — not divisible by the seq axis
+        mesh4 = make_mesh((2, 2, 2), ("stage", "model", "seq"))
+        pipeline_transformer(
+            stacked, x, mesh=mesh4, num_heads=H, microbatches=2,
+            model_axis="model", seq_axis="seq", seq_impl="ulysses",
+        )
+
+
 def test_pp_4d_gradients_match_sequential(stack):
     """Gradients flow through the scan schedule, the in-stage psums, AND
     ring attention's custom VJP in one program."""
