@@ -1,8 +1,10 @@
 """Pipeline parallelism for the CLIP transformer towers.
 
 The reference is single-device (SURVEY.md §2.9); together with
-``parallel/tp.py`` (tensor parallel) and ``ops/ring_attention.py`` (sequence
-parallel) this completes the pod-scale axis set the reference lacks.  The
+``parallel/tp.py`` (tensor parallel) and ``ops/ring_attention.py`` /
+``ops/ulysses_attention.py`` (the two sequence-parallel flavors) this
+completes the pod-scale axis set the reference lacks — and all of the axes
+compose HERE, on one mesh (dp x pp x tp x sp).  The
 surface being pipelined is the reference's homogeneous transformer stack
 (clip/model.py:195-203 ``Transformer`` = N identical
 ``ResidualAttentionBlock``s), which makes the TPU-native formulation natural:
