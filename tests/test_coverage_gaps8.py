@@ -1,0 +1,196 @@
+"""Coverage-gap batch 8 (round-5 continuation line-coverage mine).
+
+Closed-form assertions for branches the full-suite `stdlib_coverage` run
+showed untaken: validation raises on the SP wrappers, the resample-CE
+by-class reweighting arm, the prediction-CSV header guard, config
+ValueErrors, the embedding-JSON dual-parser diagnostic, viz edge cases, the
+umap_lite degenerate path, BN-fold stat passthrough, and BatchPlan
+properties.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
+
+
+def test_ring_wrapper_batch_axis_mismatch_raises():
+    from debiasing_multi_modal_tpu.ops.ring_attention import (
+        sequence_parallel_attention,
+    )
+
+    mesh = make_mesh((2, 4), ("b", "s"))
+    q = jnp.zeros((3, 8, 2, 4), jnp.float32)  # batch 3 % b=2 != 0
+    with pytest.raises(ValueError, match="batch 3 must divide"):
+        sequence_parallel_attention(
+            q, q, q, mesh=mesh, axis_name="s", batch_axis="b"
+        )
+
+
+def test_ulysses_wrapper_batch_axis_mismatch_raises():
+    from debiasing_multi_modal_tpu.ops.ulysses_attention import (
+        ulysses_sequence_parallel_attention,
+    )
+
+    mesh = make_mesh((2, 4), ("b", "s"))
+    q = jnp.zeros((3, 8, 4, 4), jnp.float32)
+    with pytest.raises(ValueError, match="batch 3 must divide"):
+        ulysses_sequence_parallel_attention(
+            q, q, q, mesh=mesh, axis_name="s", batch_axis="b"
+        )
+
+
+def test_resampled_ce_weights_by_class_arm():
+    """reference GetResampledWeightsCE (visualizer_supcon.py:1642-1703):
+    when the class imbalance already exceeds the correctness imbalance, the
+    by-class mode still multiplies the minority class by the correctness
+    ratio (the `elif reweighting_by_class` arm)."""
+    from debiasing_multi_modal_tpu.data.samplers import resampled_ce_weights
+
+    # class 0 minority (2 vs 6); n_pos = [1, 2] -> imbal=3 > reweighted=2
+    labels = np.array([0, 0, 1, 1, 1, 1, 1, 1])
+    preds = np.array([0, 1, 1, 1, 0, 0, 0, 0])  # correct: [1,0,1,1,0,0,0,0]
+    w = resampled_ce_weights(labels, preds, reweighting_by_class=True)
+    # class-0 wrong sample got n_pos/neg = 1.0 first, then the whole
+    # minority class scaled by reweighted = n_pos[1]/n_pos[0] = 2
+    np.testing.assert_allclose(w, [2.0, 2.0, 1, 1, 1, 1, 1, 1])
+
+
+def test_batch_plan_properties():
+    from debiasing_multi_modal_tpu.data.samplers import BatchPlan
+
+    plan = BatchPlan(
+        indices=np.zeros((3, 5), np.int32), mask=np.ones((3, 5), bool)
+    )
+    assert plan.num_batches == 3
+    assert plan.batch_size == 5
+
+
+def test_load_predictions_rejects_wrong_header(tmp_path):
+    p = tmp_path / "prediction.csv"
+    p.write_text("foo,bar\n1,2\n")
+    from debiasing_multi_modal_tpu.data.predictions import load_predictions
+
+    with pytest.raises(ValueError, match="not a prediction CSV"):
+        load_predictions(str(p))
+
+
+def test_train_config_validation_raises():
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    with pytest.raises(ValueError, match="unknown tl_method"):
+        TrainConfig(tl_method="nope")
+    with pytest.raises(ValueError, match="plain adapter excludes"):
+        TrainConfig(tl_method="adapter", add_adapter=True)
+    with pytest.raises(ValueError, match="dataset not supported"):
+        TrainConfig(tl_method="adapter", dataset="cifar")
+    with pytest.raises(ValueError, match="epochs_feature_learning"):
+        TrainConfig(
+            tl_method="adapter_reg_seq_alter", epochs_feature_learning=None
+        )
+
+
+def test_embedding_json_dual_parser_diagnostic(tmp_path):
+    """A corrupt cache must fail with BOTH parsers' diagnostics (the C++
+    byte-offset error is the valuable one — don't lose it to the python
+    fallback's)."""
+    from debiasing_multi_modal_tpu.data import embeddings_store as es
+
+    p = tmp_path / "clip.json"
+    p.write_text('{"0": {"path": "x", "label"')  # truncated mid-key
+    try:
+        from debiasing_multi_modal_tpu.native import ebdjson  # noqa: F401
+
+        native = True
+    except Exception:
+        native = False
+    with pytest.raises(Exception) as ei:
+        es.load_embeddings(str(p), "waterbirds")
+    if native:
+        assert "native parser" in str(ei.value)
+        assert "python parser" in str(ei.value)
+
+
+def test_adapted_embeddings_pads_ragged_final_batch():
+    """n not divisible by batch_size goes down the pad-and-slice branch and
+    must equal the unbatched apply exactly."""
+    from debiasing_multi_modal_tpu.models.adapter import AdapterMLP
+    from debiasing_multi_modal_tpu.viz.analysis import adapted_embeddings
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((5, 16)).astype(np.float32)
+    module = AdapterMLP(hidden_dim=8)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.asarray(emb[:2]), train=True
+    )
+    ragged = adapted_embeddings(
+        module, variables["params"], variables["batch_stats"], emb,
+        batch_size=4,
+    )
+    whole = adapted_embeddings(
+        module, variables["params"], variables["batch_stats"], emb,
+        batch_size=8,
+    )
+    np.testing.assert_allclose(ragged, whole, atol=1e-6)
+
+
+def test_mean_pairwise_distance_edges():
+    from debiasing_multi_modal_tpu.viz.analysis import mean_pairwise_distance
+
+    assert mean_pairwise_distance(np.zeros((1, 4))) == 0.0
+    rng = np.random.default_rng(0)
+    big = rng.standard_normal((40, 4))
+    sub = mean_pairwise_distance(big, max_n=16)
+    full = mean_pairwise_distance(big)
+    assert sub > 0 and full > 0  # subsampled estimate of the same scale
+    assert abs(sub - full) / full < 0.5
+
+
+def test_group_stats_empty_group_is_nan():
+    from debiasing_multi_modal_tpu.viz.analysis import group_stats
+
+    emb = np.ones((4, 3), np.float32)
+    groups = np.array([0, 0, 1, 1])  # groups 2 and 3 empty
+    stats = group_stats(emb, groups, n_groups=4)
+    assert stats[2]["count"] == 0 and np.isnan(stats[2]["mean_norm"])
+    assert stats[0]["count"] == 2
+
+
+def test_umap_lite_degenerate_small_n():
+    from debiasing_multi_modal_tpu.viz.umap_lite import UMAP
+
+    X = np.arange(12, dtype=np.float64).reshape(4, 3)  # n=4 <= 2+2
+    out = UMAP(n_components=2).fit_transform(X)
+    assert out.shape == (4, 2)
+    # centered truncation: columns are the first two centered coords
+    np.testing.assert_allclose(out, (X - X.mean(0))[:, :2], atol=1e-6)
+
+
+def test_fold_resnet_bn_passes_through_other_stats():
+    from debiasing_multi_modal_tpu.models import create_clip, init_clip
+    from debiasing_multi_modal_tpu.models.config import CLIPConfig
+    from debiasing_multi_modal_tpu.weights.fold import fold_resnet_bn
+
+    cfg = CLIPConfig(
+        name="tiny-rn-fold",
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=(1, 1, 1, 1),
+        vision_width=8,
+        vision_patch_size=None,
+        transformer_width=64,
+        transformer_heads=2,
+        transformer_layers=1,
+        vocab_size=128,
+    )
+    model = create_clip(cfg)
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    variables = dict(variables)
+    variables["batch_stats"] = dict(variables["batch_stats"])
+    variables["batch_stats"]["extra"] = {"m": jnp.zeros((2,))}
+    out = fold_resnet_bn(variables)
+    assert "visual" not in out.get("batch_stats", {})
+    assert "extra" in out["batch_stats"]
