@@ -81,6 +81,14 @@ def main(args):
                 f"--{flag} is not supported by sweep_main (per-run "
                 "checkpoints/profiles are a train_main feature)"
             )
+    if (args.stack_lr_axis or args.stack_bsr_axis or args.stack_bs_axis) \
+            and args.no_vmap:
+        # contradictory flags fail BEFORE any file IO (the stacked grid
+        # only exists on the vmapped path)
+        raise SystemExit(
+            "--stack_lr_axis/--stack_bsr_axis/--stack_bs_axis require the "
+            "vmapped path; drop --no_vmap"
+        )
     bundle = bundle_from_files(
         cfg.dataset,
         args.data_dir,
@@ -99,13 +107,6 @@ def main(args):
         from debiasing_multi_modal_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_names=("data",))
-
-    if (args.stack_lr_axis or args.stack_bsr_axis or args.stack_bs_axis) \
-            and args.no_vmap:
-        raise SystemExit(
-            "--stack_lr_axis/--stack_bsr_axis/--stack_bs_axis require the "
-            "vmapped path; drop --no_vmap"
-        )
     out = run_sweep(
         cfg,
         bundle,

@@ -194,3 +194,23 @@ def test_fold_resnet_bn_passes_through_other_stats():
     out = fold_resnet_bn(variables)
     assert "visual" not in out.get("batch_stats", {})
     assert "extra" in out["batch_stats"]
+
+
+def test_sweep_main_stack_requires_vmap():
+    """--stack_*_axis with --no_vmap is a contradiction the CLI must refuse
+    up front (the stacked grid only exists on the vmapped path)."""
+    from debiasing_multi_modal_tpu.cli import sweep_main
+
+    args = sweep_main.extend_parser(sweep_main.build_parser()).parse_args(
+        [
+            "--data_dir", "/nonexistent",
+            "--dataset", "waterbirds",
+            "--image_embedding_dir", "/nonexistent/clip.npz",
+            "--text_embedding_dir", "/nonexistent/c.json",
+            "--text_group_embedding_dir", "/nonexistent/g.json",
+            "--text_spurious_embedding_dir", "/nonexistent/s.json",
+            "--stack_lr_axis", "--no_vmap",
+        ]
+    )
+    with pytest.raises(SystemExit, match="drop --no_vmap"):
+        sweep_main.main(args)
