@@ -126,6 +126,10 @@ def pipeline_transformer(
     stack's output, replicated over ``stage_axis`` (and sharded over
     ``batch_axis`` if given, for dp x pp meshes).
 
+    Each call builds (and jits) its own program; for repeated steady-state
+    calls wrap the CALLER in ``jax.jit`` — the inner jit inlines and the
+    outer one caches across calls.
+
     ``model_axis`` adds Megatron tensor parallelism INSIDE each stage (full
     3D: dp x pp x tp on one mesh): q/k/v and ``c_fc`` kernels column-shard
     over it, ``out_proj``/``c_proj`` row-shard, and the block forward runs
