@@ -356,6 +356,42 @@ def test_pp_full_tower_encodes_match_modules():
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=2e-5)
 
 
+def test_pp_full_tower_bf16_policy():
+    """The pipelined encode must track the module under the bf16 compute
+    policy too (params fp32, activations bf16, LN stats fp32 — the manual
+    block's dtype casts mirror models/layers.py)."""
+    cfg = CLIPConfig(
+        name="tiny-pp-bf16",
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=4,
+        vision_width=128,
+        vision_patch_size=16,
+        transformer_width=D,
+        transformer_heads=H,
+        transformer_layers=L,
+        vocab_size=128,
+    ).with_dtype(jnp.bfloat16)
+    model = create_clip(cfg)
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    rng = np.random.default_rng(8)
+    imgs = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    mesh = make_mesh((2, 2, 2), ("data", "stage", "model"))
+    ref = model.apply(variables, imgs, method=model.encode_image)
+    out = pipelined_vit_encode(
+        model, variables, imgs, mesh=mesh, microbatches=2,
+        batch_axis="data", model_axis="model",
+    )
+    assert out.dtype == ref.dtype
+    # bf16 ulp-level divergence only (psum ordering, LN rounding): bound
+    # absolute error at a few bf16 ulps of the ~unit-scale outputs and pin
+    # near-perfect alignment
+    a, b = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=0)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9999, cos
+
+
 def test_pp_single_stage_degenerates_to_plain_scan(stack):
     tr, variables, x, stacked = stack
     mesh = make_mesh((4, 1), ("data", "stage"), devices=jax.devices()[:4])
