@@ -182,6 +182,53 @@ def test_sweep_cli_end_to_end(tmp_path):
     assert any(ln.startswith("test_mean,") for ln in lines)
 
 
+def test_sweep_cli_seed_mesh_matches_unsharded(tmp_path):
+    """--seed_mesh shards the seed axis over the 8-device mesh through the
+    FULL CLI path; the written CSV must be byte-identical to the unsharded
+    run (sweep_main.py's make_mesh branch)."""
+    from debiasing_multi_modal_tpu.cli import sweep_main
+    from debiasing_multi_modal_tpu.templates import WATERBIRDS
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=64, n_val=32, n_test=32, dim=32)
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rows = ["img_id,img_filename,y,split,place"]
+    for i in range(len(meta)):
+        rows.append(
+            f"{i},{meta.filenames[i]},{meta.y[i]},{meta.split[i]},{meta.place[i]}"
+        )
+    (data_dir / "metadata.csv").write_text("\n".join(rows) + "\n")
+    save_embeddings(str(tmp_path / "clip.npz"), table)
+    save_text_embeddings(str(tmp_path / "clip_class.json"), WATERBIRDS.prompts("class"), tc.T)
+    save_text_embeddings(str(tmp_path / "clip_spurious.json"), WATERBIRDS.prompts("spurious"), ts.T)
+    save_text_embeddings(str(tmp_path / "clip_group.json"), WATERBIRDS.prompts("group"), tg.T)
+
+    seeds = ",".join(str(40 + i) for i in range(8))  # 8 seeds / 8 devices
+    base = [
+        "--data_dir", str(data_dir),
+        "--dataset", "waterbirds",
+        "--image_embedding_dir", str(tmp_path / "clip.npz"),
+        "--text_embedding_dir", str(tmp_path / "clip_class.json"),
+        "--text_spurious_embedding_dir", str(tmp_path / "clip_spurious.json"),
+        "--text_group_embedding_dir", str(tmp_path / "clip_group.json"),
+        "--tl_method", "adapter",
+        "--epochs", "2",
+        "--adapter_feat_dim", "8",
+        "--num_iter", "8", "--random_seeds", seeds,
+        "--lr_list", "0.5", "--bs_list", "32", "--bsr_list", "8",
+    ]
+    parser = sweep_main.extend_parser(sweep_main.build_parser())
+    for extra in (["--result_root", str(tmp_path / "plain")],
+                  ["--result_root", str(tmp_path / "meshed"), "--seed_mesh"]):
+        assert sweep_main.main(parser.parse_args(base + extra)) == 0
+    plain = list((tmp_path / "plain").glob("*.csv"))
+    meshed = list((tmp_path / "meshed").glob("*.csv"))
+    assert len(plain) == 1 and len(meshed) == 1
+    assert plain[0].read_text() == meshed[0].read_text()
+
+
 def test_shell_scripts_are_valid_bash():
     import glob
     import subprocess
