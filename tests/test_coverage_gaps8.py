@@ -214,3 +214,97 @@ def test_sweep_main_stack_requires_vmap():
     )
     with pytest.raises(SystemExit, match="drop --no_vmap"):
         sweep_main.main(args)
+
+
+def _tiny_bundle():
+    from debiasing_multi_modal_tpu.data.synthetic import (
+        SyntheticSpec,
+        make_synthetic_dataset,
+    )
+    from debiasing_multi_modal_tpu.train.loop import bundle_from_embedding_table
+
+    meta, table, tc, tg, ts = make_synthetic_dataset(
+        SyntheticSpec(n_train=64, n_val=32, n_test=32, dim=16)
+    )
+    mbs = {
+        n: meta.take(np.where(meta.split == s)[0])
+        for n, s in (("train", 0), ("val", 1), ("test", 2))
+    }
+    return bundle_from_embedding_table(table, mbs, tc, ts, tg)
+
+
+def test_capture_rejects_unsupported_configs():
+    """The matched-order capture hook refuses resample_ce methods and
+    resumed runs up front (train/loop.py)."""
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import train_all_epochs
+
+    bundle = _tiny_bundle()
+    cfg = TrainConfig(
+        tl_method="adapter", epochs=2, input_dim=16, adapter_feat_dim=8,
+        resample_ce=True,
+    )
+    with pytest.raises(ValueError, match="capture .*resample_ce"):
+        train_all_epochs(cfg, bundle, capture={})
+    cfg2 = TrainConfig(
+        tl_method="adapter", epochs=2, input_dim=16, adapter_feat_dim=8
+    )
+    with pytest.raises(ValueError, match="resumed"):
+        train_all_epochs(cfg2, bundle, capture={}, resume="/nonexistent")
+
+
+def test_encode_run_name_cp_gp_suffix():
+    """Non-alternating reg methods encode the prompt choice (_CP/_GP),
+    reference final_main.py:1070-1096."""
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+    from debiasing_multi_modal_tpu.train.loop import encode_run_name
+
+    base = dict(
+        tl_method="adapter_reg_seq", epochs=2, epochs_feature_learning=1,
+        input_dim=16, adapter_feat_dim=8,
+    )
+    cp = encode_run_name(TrainConfig(use_cls_prompt_in_reg=True, **base))
+    gp = encode_run_name(TrainConfig(use_cls_prompt_in_reg=False, **base))
+    assert cp.endswith("_CP") and gp.endswith("_GP")
+
+
+def test_vmap_loop_grid_validation():
+    from debiasing_multi_modal_tpu.sweep.vmap_loop import train_seeds_vmapped
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    bundle = _tiny_bundle()
+    cfg = TrainConfig(
+        tl_method="adapter", epochs=2, input_dim=16, adapter_feat_dim=8
+    )
+    with pytest.raises(ValueError, match="not both"):
+        train_seeds_vmapped(
+            cfg, bundle, [42], lr_grid=[(0.5, 0.5)],
+            cell_grid=[cfg],
+        )
+
+
+def test_vmap_loop_mesh_divisibility_message():
+    from debiasing_multi_modal_tpu.sweep.vmap_loop import train_seeds_vmapped
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    bundle = _tiny_bundle()
+    cfg = TrainConfig(
+        tl_method="adapter", epochs=2, input_dim=16, adapter_feat_dim=8
+    )
+    mesh = make_mesh(axis_names=("data",))  # 8 devices
+    with pytest.raises(ValueError, match="len\\(seeds\\)=3"):
+        train_seeds_vmapped(cfg, bundle, [1, 2, 3], mesh=mesh)
+
+
+def test_staging_cache_clear_and_checkpoint_latest_on_missing_dir():
+    from debiasing_multi_modal_tpu.train.checkpoint import latest_checkpoint
+    from debiasing_multi_modal_tpu.utils.staging import DeviceCache
+
+    assert latest_checkpoint("/nonexistent/dir") is None
+    cache = DeviceCache()
+    arr = np.zeros(3, np.float32)
+    cache(arr)
+    assert len(cache) == 1
+    cache.clear()
+    assert len(cache) == 0
+    assert cache(arr) is not None  # re-stages after clear
