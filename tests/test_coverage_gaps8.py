@@ -308,3 +308,19 @@ def test_staging_cache_clear_and_checkpoint_latest_on_missing_dir():
     cache.clear()
     assert len(cache) == 0
     assert cache(arr) is not None  # re-stages after clear
+
+
+def test_vmap_loop_label_overflow_vs_text_columns():
+    """train_target=group yields labels 0..3 but the class text matrix has
+    2 columns — the sweep must fail with the explanatory message instead of
+    a silent out-of-range gather (vmap_loop.py)."""
+    from debiasing_multi_modal_tpu.sweep.vmap_loop import train_seeds_vmapped
+    from debiasing_multi_modal_tpu.train.config import TrainConfig
+
+    bundle = _tiny_bundle()
+    cfg = TrainConfig(
+        tl_method="adapter", epochs=2, input_dim=16, adapter_feat_dim=8,
+        train_target="group",
+    )
+    with pytest.raises(ValueError, match="class text matrix has only"):
+        train_seeds_vmapped(cfg, bundle, [42])
