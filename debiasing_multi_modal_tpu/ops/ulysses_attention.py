@@ -52,7 +52,6 @@ def ulysses_attention(
         order).  ``H`` must be divisible by the axis size.
     Returns the local output chunk ``[B, S_local, H, D]``.
     """
-    n = jax.lax.psum(1, axis_name)
     # scatter heads (axis 2), gather sequence (axis 1): [B, S, H/n, D]
     qg, kg, vg = (
         jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
