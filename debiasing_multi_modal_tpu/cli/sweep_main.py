@@ -41,7 +41,7 @@ def extend_parser(p):
                         "or singleton)")
     p.add_argument("--seed_mesh", action="store_true",
                    help="shard each cell's seed axis across all devices "
-                        "(len(seeds) must divide the device count)")
+                        "(len(seeds) must be divisible by the device count)")
     return p
 
 

@@ -222,7 +222,7 @@ def sequence_parallel_attention(
     batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """jit-level wrapper: shard q/k/v's sequence axis over ``axis_name``
-    and run the ring.  The global S must divide the axis size.  Pass
+    and run the ring.  The global S must be divisible by the axis size.  Pass
     ``batch_axis`` to also shard the batch dim (dp x sp meshes — the ring
     runs independently within each dp slice); head/D stay replicated."""
     if q.ndim != 4 or q.shape != k.shape or k.shape != v.shape:
@@ -233,12 +233,12 @@ def sequence_parallel_attention(
     n = mesh.shape[axis_name]
     if q.shape[1] % n:
         raise ValueError(
-            f"global sequence {q.shape[1]} must divide the '{axis_name}' "
-            f"axis size {n}"
+            f"global sequence {q.shape[1]} must be divisible by the "
+            f"'{axis_name}' axis size {n}"
         )
     if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
         raise ValueError(
-            f"batch {q.shape[0]} must divide the '{batch_axis}' axis size "
+            f"batch {q.shape[0]} must be divisible by the '{batch_axis}' axis size "
             f"{mesh.shape[batch_axis]}"
         )
     spec = PartitionSpec(batch_axis, axis_name, None, None)

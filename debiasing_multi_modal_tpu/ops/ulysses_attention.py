@@ -85,16 +85,17 @@ def ulysses_sequence_parallel_attention(
     n = mesh.shape[axis_name]
     if q.shape[1] % n:
         raise ValueError(
-            f"global sequence {q.shape[1]} must divide the '{axis_name}' "
-            f"axis size {n}"
+            f"global sequence {q.shape[1]} must be divisible by the "
+            f"'{axis_name}' axis size {n}"
         )
     if q.shape[2] % n:
         raise ValueError(
-            f"heads {q.shape[2]} must divide the '{axis_name}' axis size {n}"
+            f"heads {q.shape[2]} must be divisible by the '{axis_name}' "
+            f"axis size {n}"
         )
     if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
         raise ValueError(
-            f"batch {q.shape[0]} must divide the '{batch_axis}' axis size "
+            f"batch {q.shape[0]} must be divisible by the '{batch_axis}' axis size "
             f"{mesh.shape[batch_axis]}"
         )
     spec = PartitionSpec(batch_axis, axis_name, None, None)

@@ -90,6 +90,14 @@ def _ln_f32(pl, z):
     return y.astype(z.dtype)
 
 
+# compiled pipeline programs, keyed by every input that shapes the trace —
+# repeated pipeline_transformer calls (per-batch encode loops) reuse the
+# SAME jit object and hit its executable cache instead of re-tracing and
+# re-paying the ~10 s tunnel compile each call (§7).  Entries are one jit
+# wrapper each; real workloads produce a handful.
+_PROGRAM_CACHE: dict = {}
+
+
 def validate_pp(n_layers: int, n_stages: int, batch: int, microbatches: int):
     if n_layers % n_stages:
         raise ValueError(
@@ -152,8 +160,8 @@ def pipeline_transformer(
     validate_pp(n_layers, n_stages, x.shape[0], microbatches)
     if batch_axis is not None and (x.shape[0] // microbatches) % mesh.shape[batch_axis]:
         raise ValueError(
-            f"microbatch rows {x.shape[0] // microbatches} must divide the "
-            f"'{batch_axis}' axis size {mesh.shape[batch_axis]}"
+            f"microbatch rows {x.shape[0] // microbatches} must be divisible "
+            f"by the '{batch_axis}' axis size {mesh.shape[batch_axis]}"
         )
     tp = 1 if model_axis is None else mesh.shape[model_axis]
     if num_heads % tp:
@@ -163,7 +171,8 @@ def pipeline_transformer(
     sp = 1 if seq_axis is None else mesh.shape[seq_axis]
     if x.shape[1] % sp:
         raise ValueError(
-            f"sequence {x.shape[1]} must divide the '{seq_axis}' axis size {sp}"
+            f"sequence {x.shape[1]} must be divisible by the '{seq_axis}' "
+            f"axis size {sp}"
         )
     if seq_impl not in ("ring", "ulysses"):
         raise ValueError(f"unknown seq_impl {seq_impl!r}; known: ring, ulysses")
@@ -289,21 +298,54 @@ def pipeline_transformer(
             stacked_params,
         )
     x_spec = P(None, batch_axis, seq_axis, None)
-    # jit the shard_map: remat's closed_call requires it, and callers get
-    # one compiled program either way (outer jits just inline this one)
-    fn = jax.jit(
-        jax.shard_map(
-            _pipeline,
-            mesh=mesh,
-            in_specs=(param_spec, x_spec),
-            out_specs=x_spec,
-            check_vma=False,
-        )
-    )
     mb = x.shape[0] // m
     x_mb = x.reshape(m, mb, *x.shape[1:])
+    cache_key = (
+        mesh, stage_axis, batch_axis, model_axis, seq_axis, seq_impl,
+        causal, num_heads, dtype, param_dtype, attn_impl, remat, m,
+        jax.tree.structure(stacked_params),
+        tuple(
+            (tuple(leaf.shape), str(leaf.dtype))
+            for leaf in jax.tree.leaves(stacked_params)
+        ),
+        tuple(x_mb.shape), str(x.dtype),
+    )
+    fn = _PROGRAM_CACHE.get(cache_key)
+    if fn is None:
+        # jit the shard_map: remat's closed_call requires it, and callers
+        # get one compiled program either way (outer jits inline this one)
+        fn = jax.jit(
+            jax.shard_map(
+                _pipeline,
+                mesh=mesh,
+                in_specs=(param_spec, x_spec),
+                out_specs=x_spec,
+                check_vma=False,
+            )
+        )
+        _PROGRAM_CACHE[cache_key] = fn
     out = fn(stacked_params, x_mb)
     return out.reshape(x.shape)
+
+
+def _check_tower_supported(clip_model, pp_kwargs):
+    """The pipelined encodes run the plain bf16/fp32 block math; a model
+    built with quant or fuse_qkv has an IDENTICAL param tree (by design,
+    models/layers.py), so without this guard it would silently run
+    non-quantized/unfused math instead of failing loudly."""
+    quant = getattr(clip_model, "quant", "none")
+    if quant != "none":
+        raise ValueError(
+            f"pipelined encodes do not support quant={quant!r} towers "
+            "(the stacked block math is the default-precision path)"
+        )
+    if getattr(clip_model, "fuse_qkv", False):
+        raise ValueError(
+            "pipelined encodes do not support fuse_qkv towers "
+            "(the stacked block math uses the unfused projections)"
+        )
+    # inherit the model's attention dispatch unless the caller overrides
+    pp_kwargs.setdefault("attn_impl", getattr(clip_model, "attn_impl", "auto"))
 
 
 def pipelined_vit_encode(clip_model, variables, images, *, mesh, **pp_kwargs):
@@ -316,6 +358,7 @@ def pipelined_vit_encode(clip_model, variables, images, *, mesh, **pp_kwargs):
     the class-token projection.  Parity vs ``encode_image`` is pinned in
     ``test_pp.py``.  ``images``: CLIP-normalized [N, H, W, 3] floats.
     """
+    _check_tower_supported(clip_model, pp_kwargs)
     cfg = clip_model.config
     dtype = cfg.dtype  # the module's own compute dtype (models/clip.py)
     vp = variables["params"]["visual"]
@@ -351,6 +394,7 @@ def pipelined_text_encode(clip_model, variables, token_ids, *, mesh, **pp_kwargs
     clip/model.py:343-356): token + positional embedding, causal pipelined
     stack, ln_final, one-hot EOT gather, text projection.
     """
+    _check_tower_supported(clip_model, pp_kwargs)
     cfg = clip_model.config
     dtype = cfg.dtype
     tw = variables["params"]["text"]

@@ -248,7 +248,7 @@ def train_seeds_vmapped(
                 else f"len(seeds)={S}"
             )
             raise ValueError(
-                f"{what} must divide over the mesh data axis ({n_data})"
+                f"{what} must be divisible by the mesh data axis size ({n_data})"
             )
         seed_sharding = NamedSharding(mesh, PartitionSpec("data"))
         replicated = NamedSharding(mesh, PartitionSpec())

@@ -24,7 +24,7 @@ def test_ring_wrapper_batch_axis_mismatch_raises():
 
     mesh = make_mesh((2, 4), ("b", "s"))
     q = jnp.zeros((3, 8, 2, 4), jnp.float32)  # batch 3 % b=2 != 0
-    with pytest.raises(ValueError, match="batch 3 must divide"):
+    with pytest.raises(ValueError, match="batch 3 must be divisible"):
         sequence_parallel_attention(
             q, q, q, mesh=mesh, axis_name="s", batch_axis="b"
         )
@@ -37,7 +37,7 @@ def test_ulysses_wrapper_batch_axis_mismatch_raises():
 
     mesh = make_mesh((2, 4), ("b", "s"))
     q = jnp.zeros((3, 8, 4, 4), jnp.float32)
-    with pytest.raises(ValueError, match="batch 3 must divide"):
+    with pytest.raises(ValueError, match="batch 3 must be divisible"):
         ulysses_sequence_parallel_attention(
             q, q, q, mesh=mesh, axis_name="s", batch_axis="b"
         )

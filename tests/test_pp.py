@@ -392,6 +392,56 @@ def test_pp_full_tower_bf16_policy():
     assert cos > 0.9999, cos
 
 
+def test_pp_program_cache_reuses_compiled_fn(stack):
+    """Repeated calls with the same mesh/shapes/options must reuse ONE jit
+    object (per-batch encode loops would otherwise re-trace and re-pay the
+    tunnel compile every call), while different param VALUES still produce
+    correct outputs through the cached program."""
+    from debiasing_multi_modal_tpu.parallel import pp as ppmod
+
+    tr, variables, x, stacked = stack
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    ppmod._PROGRAM_CACHE.clear()
+    out1 = pipeline_transformer(stacked, x, mesh=mesh, num_heads=H,
+                                microbatches=2)
+    assert len(ppmod._PROGRAM_CACHE) == 1
+    scaled = jax.tree.map(lambda l: l * 0.5, stacked)
+    out2 = pipeline_transformer(scaled, x, mesh=mesh, num_heads=H,
+                                microbatches=2)
+    assert len(ppmod._PROGRAM_CACHE) == 1  # same program, new values
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # different microbatching is a different schedule -> new entry
+    pipeline_transformer(stacked, x, mesh=mesh, num_heads=H, microbatches=4)
+    assert len(ppmod._PROGRAM_CACHE) == 2
+
+
+def test_pp_tower_helpers_reject_quant_and_fuse_qkv():
+    """quant/fuse_qkv towers have IDENTICAL param trees, so without the
+    guard the pipelined encode would silently run default-precision math."""
+    cfg = CLIPConfig(
+        name="tiny-pp-guard",
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=4,
+        vision_width=128,
+        vision_patch_size=16,
+        transformer_width=D,
+        transformer_heads=H,
+        transformer_layers=L,
+        vocab_size=128,
+    )
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    base = create_clip(cfg)
+    variables = init_clip(base, jax.random.PRNGKey(0), batch=1)
+    imgs = jnp.zeros((4, 32, 32, 3), jnp.float32)
+    fused = create_clip(cfg, fuse_qkv=True)
+    with pytest.raises(ValueError, match="fuse_qkv"):
+        pipelined_vit_encode(fused, variables, imgs, mesh=mesh)
+    quant = create_clip(cfg, quant="int8")
+    with pytest.raises(ValueError, match="quant"):
+        pipelined_vit_encode(quant, variables, imgs, mesh=mesh)
+
+
 def test_pp_single_stage_degenerates_to_plain_scan(stack):
     tr, variables, x, stacked = stack
     mesh = make_mesh((4, 1), ("data", "stage"), devices=jax.devices()[:4])

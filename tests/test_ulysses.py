@@ -38,7 +38,10 @@ def test_ulysses_matches_oracle(qkv, causal):
         q, k, v, mesh=mesh, axis_name="data", causal=causal
     )
     ref = _xla_attention(q, k, v, causal=causal)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # BITWISE: the exchange is a pure permutation and the local math is the
+    # oracle's own — the docs' exactness claim is enforced here, so if a
+    # backend/compiler change ever breaks it this test flags the doc too
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_ulysses_dp_sp_mesh(qkv):
