@@ -175,7 +175,7 @@ def test_seed_sharded_mesh_rejects_uneven_split(bundle):
 
     cfg = TrainConfig(tl_method="adapter", epochs=1, **BASE)
     mesh = make_mesh(axis_names=("data",))
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         run_seeds(cfg, bundle, [42, 43, 44], use_vmap=True, mesh=mesh)
 
 
