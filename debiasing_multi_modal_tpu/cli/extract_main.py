@@ -71,7 +71,7 @@ def build_parser():
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="shard encoder params over a model axis of this size "
                         "(Megatron pattern, parallel/tp.py) on top of data-"
-                        "parallel batch sharding; must be divisible by the device "
+                        "parallel batch sharding; must divide the device "
                         "count and every tower's head count")
     return p
 

@@ -344,11 +344,20 @@ def _check_tower_supported(clip_model, pp_kwargs):
             "pipelined encodes do not support fuse_qkv towers "
             "(the stacked block math uses the unfused projections)"
         )
+    # these are taken from the model/config — a duplicate in pp_kwargs
+    # would otherwise surface as a confusing 'multiple values' TypeError
+    clash = {"num_heads", "dtype", "causal"} & set(pp_kwargs)
+    if clash:
+        raise TypeError(
+            f"{sorted(clash)} are fixed by the tower encode (taken from the "
+            "model/config); remove them from the keyword arguments"
+        )
     # inherit the model's attention dispatch unless the caller overrides
     pp_kwargs.setdefault("attn_impl", getattr(clip_model, "attn_impl", "auto"))
 
 
-def pipelined_vit_encode(clip_model, variables, images, *, mesh, **pp_kwargs):
+def pipelined_vit_encode(clip_model, variables, images, *, mesh,
+                         stacked=None, **pp_kwargs):
     """Full ViT tower encode with the transformer stack pipelined.
 
     Mirrors ``models/vit.py::VisionTransformer.__call__`` (reference
@@ -377,7 +386,10 @@ def pipelined_vit_encode(clip_model, variables, images, *, mesh, **pp_kwargs):
     tokens = tokens + vp["positional_embedding"].astype(dtype)
     tokens = _ln_f32(vp["ln_pre"]["ln"], tokens)
 
-    stacked, _ = stack_block_params(vp["transformer"])
+    if stacked is None:
+        # steady-state loops should pre-stack once (stack_block_params) and
+        # pass it in — re-stacking copies the whole transformer tree per call
+        stacked, _ = stack_block_params(vp["transformer"])
     tokens = pipeline_transformer(
         stacked, tokens, mesh=mesh, num_heads=cfg.vision_heads,
         dtype=dtype, **pp_kwargs,
@@ -387,7 +399,8 @@ def pipelined_vit_encode(clip_model, variables, images, *, mesh, **pp_kwargs):
     return cls_out @ vp["proj"].astype(cls_out.dtype)
 
 
-def pipelined_text_encode(clip_model, variables, token_ids, *, mesh, **pp_kwargs):
+def pipelined_text_encode(clip_model, variables, token_ids, *, mesh,
+                          stacked=None, **pp_kwargs):
     """Full text tower encode with the (causal) stack pipelined.
 
     Mirrors ``models/text.py::TextTransformer.__call__`` (reference
@@ -402,7 +415,8 @@ def pipelined_text_encode(clip_model, variables, token_ids, *, mesh, **pp_kwargs
     x = jnp.take(table, token_ids, axis=0)
     x = x + tw["positional_embedding"].astype(dtype)
 
-    stacked, _ = stack_block_params(tw["transformer"])
+    if stacked is None:
+        stacked, _ = stack_block_params(tw["transformer"])
     x = pipeline_transformer(
         stacked, x, mesh=mesh, num_heads=cfg.transformer_heads, causal=True,
         dtype=dtype, **pp_kwargs,

@@ -415,6 +415,40 @@ def test_pp_program_cache_reuses_compiled_fn(stack):
     assert len(ppmod._PROGRAM_CACHE) == 2
 
 
+def test_pp_tower_helpers_prestacked_and_kwarg_clash():
+    """A pre-stacked tree (steady-state loops) must match the re-stacking
+    path, and overlapping fixed kwargs are rejected with a clear message
+    instead of a 'multiple values' TypeError."""
+    cfg = CLIPConfig(
+        name="tiny-pp-pre",
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=4,
+        vision_width=128,
+        vision_patch_size=16,
+        transformer_width=D,
+        transformer_heads=H,
+        transformer_layers=L,
+        vocab_size=128,
+    )
+    model = create_clip(cfg)
+    variables = init_clip(model, jax.random.PRNGKey(0), batch=1)
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    mesh = make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    pre, _ = stack_block_params(variables["params"]["visual"]["transformer"])
+    out_pre = pipelined_vit_encode(
+        model, variables, imgs, mesh=mesh, microbatches=2, stacked=pre
+    )
+    out = pipelined_vit_encode(model, variables, imgs, mesh=mesh, microbatches=2)
+    np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out))
+    with pytest.raises(TypeError, match="fixed by the tower encode"):
+        pipelined_text_encode(
+            model, variables, jnp.zeros((4, 77), jnp.int32), mesh=mesh,
+            causal=True,
+        )
+
+
 def test_pp_tower_helpers_reject_quant_and_fuse_qkv():
     """quant/fuse_qkv towers have IDENTICAL param trees, so without the
     guard the pipelined encode would silently run default-precision math."""
